@@ -5,10 +5,14 @@ one TPU chip. Prints ONE JSON line:
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
 computed against the NumPy oracle executing the same math on this host's
 CPU — the stand-in for the reference's single-threaded implementation.
+
+The compute path is split-complex with matmul DFTs (ska_pst_dsp_tpu.ops.cfft)
+— the TPU backend here has no complex dtype / FFT op. Timing syncs through a
+scalar reduction fetched once at the end (full-array device→host transfers
+over the tunnel carry seconds of latency and would swamp the measurement).
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -22,35 +26,36 @@ def _build(n_dat):
     n_chan, L, ov = 256, 256, 48
     filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
     rng = np.random.default_rng(0)
-    x = (
-        rng.standard_normal((2, 1, n_dat)) + 1j * rng.standard_normal((2, 1, n_dat))
-    ).astype(np.complex64)
-    return os_f, filt, n_chan, L, ov, x
+    xr = rng.standard_normal((2, n_dat)).astype(np.float32)
+    xi = rng.standard_normal((2, n_dat)).astype(np.float32)
+    return os_f, filt, n_chan, L, ov, xr, xi
 
 
-def bench_tpu(n_dat=2**22, reps=10):
+def bench_tpu(n_dat=2**21, reps=10):
     import jax
+    import jax.numpy as jnp
     from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
 
-    os_f, filt, n_chan, L, ov, x = _build(n_dat)
+    os_f, filt, n_chan, L, ov, xr, xi = _build(n_dat)
 
-    def forward(xx):
-        chan = polyphase_analysis(xx, filt, n_chan, os_f)
+    def forward(a, b):
+        cr, ci = polyphase_analysis((a, b), filt, n_chan, os_f)
         return polyphase_synthesis(
-            chan, L, os_f, input_overlap=ov, deripple_coeff=filt,
+            (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
             temporal_taper="tukey",
         )
 
     fwd = jax.jit(forward)
-    xd = jax.device_put(x)
-    fwd(xd).block_until_ready()  # compile
+    fwd_sync = jax.jit(lambda a, b: sum(map(jnp.sum, forward(a, b))))
+    ar = jax.device_put(xr)
+    ai = jax.device_put(xi)
+    float(fwd_sync(ar, ai))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(xd)
-    out.block_until_ready()
+    for _ in range(reps - 1):
+        fwd(ar, ai)
+    float(fwd_sync(ar, ai))  # scalar sync
     dt = (time.perf_counter() - t0) / reps
-    # complex input samples processed per second (both pols)
-    return (x.shape[0] * n_dat) / dt
+    return (xr.shape[0] * n_dat) / dt
 
 
 def bench_oracle_cpu(n_dat=2**19):
@@ -59,7 +64,8 @@ def bench_oracle_cpu(n_dat=2**19):
     from ska_pst_dsp_tpu import oracle
     from ska_pst_dsp_tpu.utils import windows
 
-    os_f, filt, n_chan, L, ov, x = _build(n_dat)
+    os_f, filt, n_chan, L, ov, xr, xi = _build(n_dat)
+    x = (xr + 1j * xi)[:, None, :]
     t0 = time.perf_counter()
     chan = oracle.polyphase_analysis(x, filt, n_chan, os_f)
     oracle.polyphase_synthesis(

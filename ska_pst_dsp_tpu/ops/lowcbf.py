@@ -7,7 +7,8 @@ the 216 = 256*27/32 critically sampled fine channels.
 
 XLA re-derivation notes:
 * The per-output-sample 256x12 MAC loop is the same multiply-fold as the
-  analysis PFB — one batched einsum over framed input.
+  analysis PFB — one batched einsum over framed input; the FFT runs as real
+  MXU matmuls on split-complex data (:mod:`.cfft`).
 * The firmware's per-sample pi/2 phase de-rotation
   exp(2j*pi*mod(s*(-128:127),4)/4) is periodic in s with period 4, so the
   whole de-rotation is a constant (4, 256) table of exact quarter-turn
@@ -19,11 +20,13 @@ XLA re-derivation notes:
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cfft
 from .framing import frame
 
 NFILT = 3072
@@ -35,58 +38,72 @@ KEPT = 216
 FIRST_CALL_PAD = 1536  # half the FIR length (PSTFilterbank.m:4-9)
 
 
-def _rotation_table() -> np.ndarray:
-    """rot[s % 4, shifted_bin] = exp(2j*pi*((s * -(bin-128)) mod 4)/4),
-    exact quarter turns."""
+def _rotation_table() -> Tuple[np.ndarray, np.ndarray]:
+    """rot[s % 4, shifted_bin] = exp(2j*pi*((s * -(bin-128)) mod 4)/4) as
+    (re, im) — exact quarter turns."""
     quarter = np.array([1, 1j, -1, -1j], dtype=np.complex64)
     bins = np.arange(-128, 128)
     s = np.arange(4)[:, None]
-    return quarter[(s * (-bins)) % 4]
+    rot = quarter[(s * (-bins)) % 4]
+    return rot.real.astype(np.float32), rot.imag.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def _lowcbf_core(x: jnp.ndarray, taps2d: jnp.ndarray, *, scale: float) -> jnp.ndarray:
-    """x: (n_pol, n_dat) already padded → (n_pol, KEPT, n_out)."""
-    n_pol, n_dat = x.shape
+def _lowcbf_core(xr, xi, taps2d, *, scale: float):
+    """(n_pol, n_dat) already padded -> 2 x (n_pol, KEPT, n_out)."""
+    n_pol, n_dat = xr.shape
     n_out = (n_dat - NFILT) // STEP
-    frames = frame(x, NFILT, STEP, n_out).reshape(n_pol, n_out, TAPS, BLOCK)
-    fft_in = jnp.einsum("pstj,tj->psj", frames, taps2d.astype(x.real.dtype))
-    spectra = jnp.fft.fftshift(jnp.fft.fft(fft_in, axis=-1), axes=-1)
-    rot = jnp.asarray(_rotation_table())
-    s_idx = jnp.arange(n_out) % 4
-    spectra = spectra * rot[s_idx][None]  # (P, S, 256)
-    kept = spectra[..., KEPT_LO: KEPT_LO + KEPT] * jnp.asarray(
-        scale, dtype=spectra.dtype
-    )
-    return jnp.transpose(kept, (0, 2, 1))
+    xs = jnp.stack([xr, xi])
+    frames = frame(xs, NFILT, STEP, n_out).reshape(2, n_pol, n_out, TAPS, BLOCK)
+    fft_in = jnp.einsum("cpktj,tj->cpkj", frames, taps2d)
+    sr, si = cfft.fft(fft_in[0], fft_in[1])
+    sr = cfft.fftshift(sr, axis=-1)
+    si = cfft.fftshift(si, axis=-1)
+    rotr, roti = _rotation_table()
+    s_idx = np.arange(n_out) % 4
+    rr = jnp.asarray(rotr[s_idx])  # (n_out, 256)
+    ri = jnp.asarray(roti[s_idx])
+    outr = (sr * rr - si * ri)[..., KEPT_LO: KEPT_LO + KEPT] * np.float32(scale)
+    outi = (sr * ri + si * rr)[..., KEPT_LO: KEPT_LO + KEPT] * np.float32(scale)
+    return jnp.transpose(outr, (0, 2, 1)), jnp.transpose(outi, (0, 2, 1))
 
 
 def polyphase_analysis_lowcbf(
-    x: jnp.ndarray,
+    x,
     filt,
     block: int = BLOCK,
     os_factor=None,
     *,
     first_call: bool = True,
-) -> jnp.ndarray:
+):
     """LowCBF firmware-model analysis (polyphase_analysis_lowcbf.m).
 
-    The firmware divides by 2^9 (FIR), 256 (FFT) and 2048*... which the
-    wrapper multiplies back out (polyphase_analysis_lowcbf.m:25); net scale
-    here is (2^9*2048*256)/(2^9*128*256) applied once. The reference
-    zero-pads 1536 samples only on the first call via Matlab ``persistent``
-    state; that state is explicit here (``first_call``).
+    The firmware divides by 2^9 (FIR) and 128 (FFT+phase scaling); the
+    wrapper multiplies by 2^9*2048*256 (polyphase_analysis_lowcbf.m:25); net
+    scale applied once. The reference zero-pads 1536 samples only on the
+    first call via Matlab ``persistent`` state; that state is explicit here
+    (``first_call``).
 
-    x: (n_pol, 1, n_dat) or (n_pol, n_dat). Returns (n_pol, 216, n_out).
+    x: (n_pol, 1, n_dat), (n_pol, n_dat) complex, or (re, im) tuple.
+    Returns (n_pol, 216, n_out); typing follows the input kind.
     """
-    if x.ndim == 3:
-        x = x[:, 0, :]
-    x = jnp.asarray(x)
+    pair_in = isinstance(x, tuple)
+    if pair_in:
+        xr, xi = x
+    else:
+        if hasattr(x, "ndim") and x.ndim == 3:
+            x = x[:, 0, :]
+        xr, xi = cfft.split(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
+    xr, xi = jnp.asarray(xr), jnp.asarray(xi)
     if first_call:
-        x = jnp.pad(x, [(0, 0), (FIRST_CALL_PAD, 0)])
+        xr = jnp.pad(xr, [(0, 0), (FIRST_CALL_PAD, 0)])
+        xi = jnp.pad(xi, [(0, 0), (FIRST_CALL_PAD, 0)])
     taps2d = np.asarray(filt, dtype=np.float64).ravel()[: NFILT].reshape(TAPS, BLOCK)
-    # firmware: /2^9 (FIR) then /128 (FFT+phase scaling); wrapper: *2^9*2048*256
+    # firmware: /2^9 (FIR) then /128 (FFT scaling); wrapper: *2^9*2048*256
     scale = (2.0**9 * 2048 * 256) / (2.0**9 * 128.0)
-    return _lowcbf_core(
-        x, jnp.asarray(taps2d.astype(np.float32)), scale=scale
+    rr, ri = _lowcbf_core(
+        xr, xi, jnp.asarray(taps2d.astype(np.float32)), scale=scale
     )
+    return (rr, ri) if pair_in else cfft.combine(rr, ri)

@@ -7,18 +7,16 @@ InverseFilterbank is validated, re-architected for XLA:
 * Overlap-save framing (hop ``input_keep``) is static slicing, all blocks
   processed as one batch — the reference's per-block/per-pol/per-channel
   loops become array axes.
-* The per-channel forward FFTs are one batched FFT; fftshift + passband
-  selection is a static slice; deripple and tapers are precomputed constant
-  vectors fused into the surrounding elementwise ops by XLA.
+* The per-channel forward FFTs are one batched DFT (real MXU matmuls via
+  :mod:`.cfft` — split-complex end to end); fftshift + passband selection is
+  a static slice; deripple and tapers are constant real vectors fused into
+  the surrounding elementwise ops by XLA.
 * The reference's DC-centered split of channel 0 across both spectrum ends
   when the input spans the full Nyquist zone (polyphase_synthesis.m:265-278)
   is exactly a cyclic roll of the channel-concatenated spectrum by
   -FN_width/2 — implemented as such.
 * The ``combine`` coarse-channel reordering (:198-238) is a precomputed
   static channel permutation.
-
-The result: frame → taper (VPU) → batch FFT → slice/scale → big batch IFFT →
-slice, a shape-static graph with one compilation per geometry.
 """
 
 from __future__ import annotations
@@ -32,6 +30,7 @@ import numpy as np
 
 from ..utils import geometry, windows
 from ..utils.rational import Rational
+from . import cfft
 from .framing import frame
 
 
@@ -52,12 +51,10 @@ def combine_channel_permutation(n_chan: int, combine: int) -> np.ndarray:
     return coarse * fcpc + fine
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("geom_key", "spans_nyquist"),
-)
+@functools.partial(jax.jit, static_argnames=("geom_key", "spans_nyquist"))
 def _synthesis_core(
-    x: jnp.ndarray,          # (n_pol, n_chan, n_dat)
+    xr: jnp.ndarray,         # (n_pol, n_chan, n_dat) float32
+    xi: jnp.ndarray,
     t_taper: jnp.ndarray,    # (L,) float32
     s_taper: jnp.ndarray,    # (n_chan*FN_width,) float32
     dr: jnp.ndarray,         # (FN_width,) float32 deripple (ones if disabled)
@@ -65,33 +62,44 @@ def _synthesis_core(
     *,
     geom_key,                # (n_chan, L, overlap, nu, de) — static
     spans_nyquist: bool,
-) -> jnp.ndarray:
+):
     n_chan_g, L, overlap, nu, de = geom_key
     os_factor = Rational(nu, de)
     geom = geometry.SynthesisGeometry(n_chan_g, L, overlap, os_factor)
-    n_pol, n_chan, n_dat = x.shape
+    n_pol, n_chan, n_dat = xr.shape
     n_blocks = geom.n_blocks(n_dat)
     fnw = geom.fn_width
 
-    x = jnp.take(x, perm, axis=1)
-    frames = frame(x, L, geom.input_keep, n_blocks)  # (P, C, B, L)
-    frames = frames * t_taper[None, None, None, :].astype(x.real.dtype)
-    spectra = jnp.fft.fft(frames, axis=-1)
-    spectra = jnp.fft.fftshift(spectra, axes=-1)
-    fn = spectra[..., geom.discard: geom.discard + fnw]  # (P, C, B, fnw)
-    fn = fn * dr[None, None, None, :].astype(x.real.dtype)
+    xs = jnp.stack([xr, xi])  # (2, P, C, T)
+    xs = jnp.take(xs, perm, axis=2)
+    frames = frame(xs, L, geom.input_keep, n_blocks)  # (2, P, C, B, L)
+    frames = frames * t_taper[None, None, None, None, :]
+    sr, si = cfft.fft(frames[0], frames[1])
+    sr = cfft.fftshift(sr, axis=-1)
+    si = cfft.fftshift(si, axis=-1)
+    fnr = sr[..., geom.discard: geom.discard + fnw] * dr  # (P, C, B, fnw)
+    fni = si[..., geom.discard: geom.discard + fnw] * dr
 
-    flat = jnp.transpose(fn, (0, 2, 1, 3)).reshape(n_pol, n_blocks, n_chan * fnw)
-    if spans_nyquist:
-        flat = jnp.roll(flat, -(fnw // 2), axis=-1)
-    flat = flat * s_taper[None, None, :].astype(x.real.dtype)
-    big = jnp.fft.ifft(flat, axis=-1) * (de / nu)
-    kept = big[..., geom.output_overlap: geom.output_fft_length - geom.output_overlap]
-    return kept.reshape(n_pol, 1, n_blocks * geom.output_keep)
+    def assemble(fn):
+        flat = jnp.transpose(fn, (0, 2, 1, 3)).reshape(
+            n_pol, n_blocks, n_chan * fnw
+        )
+        if spans_nyquist:
+            flat = jnp.roll(flat, -(fnw // 2), axis=-1)
+        return flat * s_taper[None, None, :]
+
+    flatr, flati = assemble(fnr), assemble(fni)
+    br, bi = cfft.ifft(flatr, flati)
+    scale = np.float32(de / nu)
+    lo, hi = geom.output_overlap, geom.output_fft_length - geom.output_overlap
+    keptr = br[..., lo:hi] * scale
+    kepti = bi[..., lo:hi] * scale
+    out_shape = (n_pol, 1, n_blocks * geom.output_keep)
+    return keptr.reshape(out_shape), kepti.reshape(out_shape)
 
 
 def polyphase_synthesis(
-    x: jnp.ndarray,
+    x,
     input_fft_length: int,
     os_factor: Union[Rational, str],
     *,
@@ -102,11 +110,12 @@ def polyphase_synthesis(
     temporal_taper: Union[str, np.ndarray, None] = "no_window",
     spectral_taper: Union[str, np.ndarray, None] = "no_window",
     combine: int = 1,
-) -> jnp.ndarray:
+):
     """Invert an oversampled PFB: fine channels → original baseband stream.
 
     Args:
-      x: (n_pol, n_chan, n_dat) fine-channel spectra (analysis output).
+      x: (n_pol, n_chan, n_dat) complex fine-channel spectra, or an
+        (re, im) float32 tuple of that shape.
       input_fft_length: forward FFT length per fine channel.
       os_factor: oversampling ratio of the analysis PFB.
       spans_nyquist: input channels span the full Nyquist zone (channel 0 is
@@ -121,13 +130,19 @@ def polyphase_synthesis(
         :mod:`ska_pst_dsp_tpu.utils.windows` or an explicit vector.
       combine: number of coarse channels the input fine channels span.
 
-    Returns (n_pol, 1, n_blocks*output_keep).
+    Returns (n_pol, 1, n_blocks*output_keep); complex numpy for complex
+    input, (re, im) tuple for tuple input.
     """
     os_factor = Rational.coerce(os_factor)
-    x = jnp.asarray(x)
+    pair_in = isinstance(x, tuple)
+    if pair_in:
+        xr, xi = x
+    else:
+        xr, xi = cfft.split(x)
     if sample_offset:
-        x = x[:, :, sample_offset:]
-    n_pol, n_chan, n_dat = x.shape
+        xr = xr[:, :, sample_offset:]
+        xi = xi[:, :, sample_offset:]
+    n_pol, n_chan, n_dat = xr.shape
     L = input_fft_length
     if input_overlap is None:
         input_overlap = L // 8
@@ -154,8 +169,9 @@ def polyphase_synthesis(
 
     perm = combine_channel_permutation(n_chan, combine).astype(np.int32)
 
-    return _synthesis_core(
-        x,
+    rr, ri = _synthesis_core(
+        jnp.asarray(xr),
+        jnp.asarray(xi),
         jnp.asarray(t_vec),
         jnp.asarray(s_vec),
         jnp.asarray(dr),
@@ -163,3 +179,4 @@ def polyphase_synthesis(
         geom_key=(n_chan, L, input_overlap, os_factor.nu, os_factor.de),
         spans_nyquist=spans_nyquist,
     )
+    return (rr, ri) if pair_in else cfft.combine(rr, ri)

@@ -5,9 +5,9 @@ The reference is single-threaded Matlab; its latent parallel axes (SURVEY
 
 * **time blocks** — overlap-save processing is embarrassingly parallel given
   each shard a halo of neighbor samples: the analysis needs the next
-  ``padded_taps - step`` samples (filter history), the padded variant the
-  previous ``padded_taps`` samples, the synthesis the next ``2*overlap``
-  fine-channel samples. Halos move over ICI via ``jax.lax.ppermute`` inside
+  ``padded_taps`` samples (filter history), the padded variant the previous
+  ``padded_taps``, the synthesis the next ``2*overlap`` fine-channel
+  samples. Halos move over ICI via ``jax.lax.ppermute`` inside
   ``shard_map`` — the sharded equivalent of the reference's serial buffered
   carry (FilterBank.m:85-126).
 * **polarization / coarse channel** — pure batch axes (vmap/reshape).
@@ -16,14 +16,16 @@ Position-independence: the analysis phase-ramp schedule ``step*k mod block``
 has period ``nu`` in k (because step*nu = block*de ≡ 0 mod block), so shards
 whose block counts are multiples of ``nu`` all run the *identical* kernel
 with block0=0 — no per-shard state, bit-identical to one-shot output. This
-is the same invariant the streaming layer relies on (FilterBank.m:93-104
-trims output to nu-multiples for exactly this reason).
+is the same invariant the streaming layer relies on (FilterBank.m:93-104).
+
+Data are split-complex throughout (pairs of float32 arrays) — pairs are
+ordinary pytrees to shard_map, and no complex dtype ever reaches the TPU.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +34,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import analysis as _analysis
 from ..ops import synthesis as _synthesis
+from ..ops import cfft
 from ..utils import geometry, windows
 from ..utils.rational import Rational
+
+Pair = Tuple[jax.Array, jax.Array]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "time") -> Mesh:
@@ -47,7 +52,6 @@ def _right_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     """Prefix of the *next* shard (zeros for the last shard)."""
     n = jax.lax.axis_size(axis_name)
     prefix = x[..., :halo]
-    # send my prefix to my left neighbor (non-circular: last shard gets zeros)
     return jax.lax.ppermute(
         prefix, axis_name, perm=[(i, i - 1) for i in range(1, n)]
     )
@@ -62,28 +66,38 @@ def _left_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     )
 
 
+def _as_pair(x) -> Pair:
+    if isinstance(x, tuple):
+        return jnp.asarray(x[0]), jnp.asarray(x[1])
+    if hasattr(x, "ndim") and np.iscomplexobj(x):
+        return cfft.split(x)
+    x = jnp.asarray(x)
+    return x, jnp.zeros_like(x)
+
+
 def sharded_polyphase_analysis(
-    x: jnp.ndarray,
+    x,
     filt,
     block: int,
     os_factor,
     mesh: Mesh,
     *,
     axis: str = "time",
-) -> jnp.ndarray:
+) -> Pair:
     """Time-sharded single-stage analysis PFB.
 
-    x: (n_pol, n_dat) with n_dat divisible by n_devices*step*nu. Returns
-    (n_pol, block, n_dat//step) spectra, of which the final
-    ceil((padded_taps-step)/step) are tail garbage (same count one-shot
-    would not emit) — callers slice to geometry.analysis_nblocks.
+    x: (n_pol, n_dat) pair/complex with n_dat divisible by
+    n_devices*step*nu. Returns an (re, im) pair of (n_pol, block,
+    n_dat//step) spectra; entries past geometry.analysis_nblocks are tail
+    garbage computed from the zero halo — callers slice.
     """
     os_factor = Rational.coerce(os_factor)
-    if x.ndim == 3:
-        x = x[:, 0, :]
+    xr, xi = _as_pair(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
     step = geometry.analysis_step(block, os_factor)
     n_dev = mesh.devices.size
-    n_pol, n_dat = x.shape
+    n_pol, n_dat = xr.shape
     shard = n_dat // n_dev
     if shard % (step * os_factor.nu):
         raise ValueError(
@@ -92,26 +106,31 @@ def sharded_polyphase_analysis(
         )
     f2d = jnp.asarray(_analysis._prep_filter(filt, block))
     fl = f2d.shape[0] * block
-    halo = fl  # history needed beyond own samples, rounded up to taps
+    halo = fl
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, None)),
-        out_specs=P(None, None, axis),
+        in_specs=((P(None, axis), P(None, axis)), P(None, None)),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
     )
-    def run(x_local, f2d_local):
-        nbh = _right_halo(x_local, halo, axis)
-        xe = jnp.concatenate([x_local, nbh], axis=-1)
+    def run(pair, f2d_local):
+        lr, li = pair
+        hr = _right_halo(lr, halo, axis)
+        hi = _right_halo(li, halo, axis)
+        xer = jnp.concatenate([lr, hr], axis=-1)
+        xei = jnp.concatenate([li, hi], axis=-1)
         # every shard starts at a nu-aligned block ⇒ identical ramp (k0=0)
-        return _analysis._analysis_core(xe, f2d_local, block=block, step=step, k0=0)
+        return _analysis._analysis_core(
+            xer, xei, f2d_local, block=block, step=step, k0=0
+        )
 
-    out = run(x, f2d)
-    return out[:, :, : n_dat // step]
+    rr, ri = run((xr, xi), f2d)
+    return rr[:, :, : n_dat // step], ri[:, :, : n_dat // step]
 
 
 def sharded_polyphase_analysis_padded(
-    x: jnp.ndarray,
+    x,
     filt,
     block: int,
     os_factor,
@@ -119,16 +138,17 @@ def sharded_polyphase_analysis_padded(
     *,
     axis: str = "time",
     apply_delay: bool = True,
-) -> jnp.ndarray:
+) -> Pair:
     """Time-sharded zero-padded analysis PFB: halo is the *previous* shard's
-    padded-filter-length of samples; the first shard's zero history is the
-    kernel's own zero padding (true stream start)."""
+    filter history; the first shard's zero history is the kernel's own zero
+    padding (true stream start)."""
     os_factor = Rational.coerce(os_factor)
-    if x.ndim == 3:
-        x = x[:, 0, :]
+    xr, xi = _as_pair(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
     step = geometry.analysis_step(block, os_factor)
     n_dev = mesh.devices.size
-    n_pol, n_dat = x.shape
+    n_pol, n_dat = xr.shape
     shard = n_dat // n_dev
     if shard % (step * os_factor.nu):
         raise ValueError(
@@ -146,31 +166,35 @@ def sharded_polyphase_analysis_padded(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, None)),
-        out_specs=P(None, None, axis),
+        in_specs=((P(None, axis), P(None, axis)), P(None, None)),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
     )
-    def run(x_local, f2d_local):
-        hist = _left_halo(x_local, halo, axis)
-        xe = jnp.concatenate([hist, x_local], axis=-1)
-        raw = _analysis._analysis_padded_core(
-            xe, f2d_local, block=block, step=step, k0=0, delay=0
+    def run(pair, f2d_local):
+        lr, li = pair
+        hr = _left_halo(lr, halo, axis)
+        hi = _left_halo(li, halo, axis)
+        xer = jnp.concatenate([hr, lr], axis=-1)
+        xei = jnp.concatenate([hi, li], axis=-1)
+        raw_r, raw_i = _analysis._analysis_padded_core(
+            xer, xei, f2d_local, block=block, step=step, k0=0, delay=0
         )
-        # shard 0's true history is zeros, which is exactly what its halo
-        # received (non-circular ppermute) — so dropping the recomputed
-        # history blocks is correct for every shard.
-        return raw[:, :, halo_blocks:]
+        # shard 0's true history is zeros — exactly what its halo received
+        # (non-circular ppermute) — so dropping the recomputed history
+        # blocks is correct for every shard.
+        return raw_r[:, :, halo_blocks:], raw_i[:, :, halo_blocks:]
 
-    out = run(x, f2d_rev)
+    rr, ri = run((xr, xi), f2d_rev)
     if apply_delay:
         delay = geometry.padded_sample_delay_shift(
             int(np.asarray(filt).size), block, os_factor
         )
-        out = jnp.roll(out, -delay, axis=2)
-    return out
+        rr = jnp.roll(rr, -delay, axis=2)
+        ri = jnp.roll(ri, -delay, axis=2)
+    return rr, ri
 
 
 def sharded_polyphase_synthesis(
-    x: jnp.ndarray,
+    x,
     input_fft_length: int,
     os_factor,
     mesh: Mesh,
@@ -181,16 +205,17 @@ def sharded_polyphase_synthesis(
     spectral_taper: str = "no_window",
     spans_nyquist: bool = True,
     axis: str = "time",
-) -> jnp.ndarray:
+) -> Pair:
     """Time-sharded Golden inversion: each shard inverts its own overlap-save
     blocks after receiving a 2*overlap fine-channel halo from the next shard.
 
-    x: (n_pol, n_chan, n_dat) with n_dat divisible by n_devices*input_keep.
-    Returns (n_pol, 1, (n_dat - 2*overlap)//input_keep * output_keep) —
-    identical to the one-shot kernel.
+    x: (n_pol, n_chan, n_dat) pair/complex with n_dat divisible by
+    n_devices*input_keep. Returns the (re, im) pair of
+    (n_pol, 1, n_blocks*output_keep) — identical to the one-shot kernel.
     """
     os_factor = Rational.coerce(os_factor)
-    n_pol, n_chan, n_dat = x.shape
+    xr, xi = _as_pair(x)
+    n_pol, n_chan, n_dat = xr.shape
     L = input_fft_length
     if input_overlap is None:
         input_overlap = L // 8
@@ -208,36 +233,41 @@ def sharded_polyphase_synthesis(
     if deripple_coeff is not None:
         from ..design.fir import deripple_response
 
-        dr = deripple_response(deripple_coeff, n_chan, geom.fn_width // 2)
-        dr = jnp.asarray(dr.astype(np.float32))
+        drip = deripple_response(deripple_coeff, n_chan, geom.fn_width // 2)
+        drip = jnp.asarray(drip.astype(np.float32))
     else:
-        dr = jnp.ones(geom.fn_width, dtype=jnp.float32)
+        drip = jnp.ones(geom.fn_width, dtype=jnp.float32)
     perm = jnp.arange(n_chan, dtype=jnp.int32)
     geom_key = (n_chan, L, input_overlap, os_factor.nu, os_factor.de)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, axis), P(None), P(None), P(None), P(None)),
-        out_specs=P(None, None, axis),
+        in_specs=(
+            (P(None, None, axis), P(None, None, axis)),
+            P(None), P(None), P(None), P(None),
+        ),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
     )
-    def run(x_local, t_local, s_local, dr_local, perm_local):
-        halo = _right_halo(x_local, 2 * input_overlap, axis)
-        xe = jnp.concatenate([x_local, halo], axis=-1)
+    def run(pair, t_local, s_local, dr_local, perm_local):
+        lr, li = pair
+        hr = _right_halo(lr, 2 * input_overlap, axis)
+        hi = _right_halo(li, 2 * input_overlap, axis)
+        xer = jnp.concatenate([lr, hr], axis=-1)
+        xei = jnp.concatenate([li, hi], axis=-1)
         return _synthesis._synthesis_core(
-            xe, t_local, s_local, dr_local, perm_local,
+            xer, xei, t_local, s_local, dr_local, perm_local,
             geom_key=geom_key, spans_nyquist=spans_nyquist,
         )
 
-    out = run(x, t_vec, s_vec, dr, perm)
-    # each shard emits shard//keep blocks; the last shard's final block used
-    # zero halo — trim to the one-shot block count
+    rr, ri = run((xr, xi), t_vec, s_vec, drip, perm)
+    # the last shard's final block used zero halo — trim to one-shot count
     valid = geom.n_blocks(n_dat) * geom.output_keep
-    return out[:, :, :valid]
+    return rr[:, :, :valid], ri[:, :, :valid]
 
 
 def sharded_round_trip(
-    x: jnp.ndarray,
+    x,
     filt,
     n_chan: int,
     os_factor,
@@ -247,25 +277,25 @@ def sharded_round_trip(
     *,
     temporal_taper: str = "tukey",
     deripple: bool = True,
-) -> jnp.ndarray:
+) -> Pair:
     """Full sharded pipeline: time-sharded analysis → time-sharded Golden
     inversion (the flagship 'one step' of this framework)."""
     os_factor = Rational.coerce(os_factor)
-    chan = sharded_polyphase_analysis(x, filt, n_chan, os_factor, mesh)
-    step = geometry.analysis_step(n_chan, os_factor)
+    cr, ci = sharded_polyphase_analysis(x, filt, n_chan, os_factor, mesh)
     n_dev = mesh.devices.size
     keep = input_fft_length - 2 * input_overlap
+    xr, _ = _as_pair(x)
+    n_dat = xr.shape[-1]
     # trim fine-channel stream so each shard gets whole inversion blocks
     t_valid = geometry.analysis_nblocks(
-        x.shape[-1], int(np.asarray(filt).size), n_chan, os_factor
+        n_dat, int(np.asarray(filt).size), n_chan, os_factor
     )
     t_shard = (t_valid // (n_dev * keep)) * keep
-    chan = chan[:, :, : t_shard * n_dev]
-    chan = jax.lax.with_sharding_constraint(
-        chan, NamedSharding(mesh, P(None, None, "time"))
-    )
+    spec = NamedSharding(mesh, P(None, None, "time"))
+    cr = jax.lax.with_sharding_constraint(cr[:, :, : t_shard * n_dev], spec)
+    ci = jax.lax.with_sharding_constraint(ci[:, :, : t_shard * n_dev], spec)
     return sharded_polyphase_synthesis(
-        chan,
+        (cr, ci),
         input_fft_length,
         os_factor,
         mesh,

@@ -53,9 +53,8 @@ class TestShardedAnalysis:
         n_dat = N_DEV * step * os_f.nu * 40  # nu-aligned shards
         x = _noise((2, n_dat), seed=1)
         one = np.asarray(polyphase_analysis(x, filt, block, os_f))
-        shd = np.asarray(
-            sharded_polyphase_analysis(x, filt, block, os_f, mesh)
-        )
+        from ska_pst_dsp_tpu.ops import cfft
+        shd = cfft.combine(*sharded_polyphase_analysis(x, filt, block, os_f, mesh))
         n = one.shape[2]
         scale = np.abs(one).max()
         np.testing.assert_allclose(shd[:, :, :n], one, atol=1e-6 * scale, rtol=0)
@@ -68,9 +67,8 @@ class TestShardedAnalysis:
         n_dat = N_DEV * step * os_f.nu * 10
         x = _noise((1, n_dat), seed=2)
         one = np.asarray(polyphase_analysis_padded(x, filt, block, os_f))
-        shd = np.asarray(
-            sharded_polyphase_analysis_padded(x, filt, block, os_f, mesh)
-        )
+        from ska_pst_dsp_tpu.ops import cfft
+        shd = cfft.combine(*sharded_polyphase_analysis_padded(x, filt, block, os_f, mesh))
         scale = np.abs(one).max()
         np.testing.assert_allclose(shd, one, atol=1e-6 * scale, rtol=0)
 
@@ -89,12 +87,11 @@ class TestShardedSynthesis:
                 temporal_taper="tukey",
             )
         )
-        shd = np.asarray(
-            sharded_polyphase_synthesis(
-                x, L, os_f, mesh, input_overlap=ov, deripple_coeff=filt,
-                temporal_taper="tukey",
-            )
-        )
+        from ska_pst_dsp_tpu.ops import cfft
+        shd = cfft.combine(*sharded_polyphase_synthesis(
+            x, L, os_f, mesh, input_overlap=ov, deripple_coeff=filt,
+            temporal_taper="tukey",
+        ))
         assert shd.shape == one.shape
         scale = np.abs(one).max()
         np.testing.assert_allclose(shd, one, atol=1e-6 * scale, rtol=0)
@@ -111,9 +108,8 @@ class TestShardedRoundTrip:
         t = np.arange(n_dat)
         x = np.exp(2j * np.pi * (5.0 / n_chan) * t).astype(np.complex64)[None, :]
 
-        out = np.asarray(
-            sharded_round_trip(x, filt, n_chan, os_f, L, ov, mesh)
-        )[0, 0]
+        from ska_pst_dsp_tpu.ops import cfft
+        out = cfft.combine(*sharded_round_trip(x, filt, n_chan, os_f, L, ov, mesh))[0, 0]
         # the hard invariant: sharded pipeline == one-shot pipeline
         from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
 
