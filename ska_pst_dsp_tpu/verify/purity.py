@@ -1,0 +1,292 @@
+"""Temporal and spectral purity of the PFB inversion.
+
+Equivalent of python/verify/purity.py:31-347 (TestPurity): sweep impulse
+offsets across the stream and tone frequencies across the band, run each
+vector through generate → channelize → invert, align (``chop``) against the
+input, and report reconstruction differences plus spurious-power metrics
+against the SKAO −60 dB requirements. JSON reports land in ``products/``.
+
+Run:  python -m ska_pst_dsp_tpu.verify.purity -t -f -n 10 -c low
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import json
+import logging
+import os
+import typing
+
+import numpy as np
+
+from .. import data_gen
+from ..data_gen.config import products_dir
+from ..utils.rational import Rational
+from . import util as test_util
+from . import comparator
+from .common import create_parser
+
+module_logger = logging.getLogger(__name__)
+
+__all__ = ["TestPurity"]
+
+
+class TestPurity:
+    __test__ = False  # not a pytest class
+
+    thresh = 1e-7  # purity.py:33
+
+    time_domain_args = {"width": 1}
+    freq_domain_args = {"phase": np.pi / 4, "bin_offset": 0.0}
+
+    def __init__(
+        self,
+        n_test: int,
+        os_factor: typing.Union[Rational, str],
+        input_fft_length: int,
+        input_overlap: int,
+        fft_window: str,
+        deripple: bool,
+        channels: int,
+        fir_filter_taps: int,
+        blocks: int,
+        backend: typing.Optional[dict] = None,
+        output_dir: typing.Optional[str] = None,
+        save_output: bool = False,
+        make_plots: typing.Optional[bool] = None,
+    ):
+        backend = backend or {}
+        backend = {
+            "test_vectors": backend.get("test_vectors", "jax"),
+            "channelize": backend.get("channelize", "jax"),
+            "synthesize": backend.get("synthesize", "jax"),
+        }
+        self.make_plots = (n_test == 1) if make_plots is None else make_plots
+        self.input_fft_length = input_fft_length
+        self.input_overlap = input_overlap
+        self.deripple = deripple
+        self.fft_window = fft_window
+        self.save_output = save_output
+        self.channels = channels
+        self.output_dir = output_dir or data_gen.config.config.data_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+        os.makedirs(products_dir, exist_ok=True)
+
+        os_factor = Rational.coerce(os_factor)
+        # derived block geometry (purity.py:79-99)
+        self.normalize = input_fft_length * channels
+        block_size = os_factor.normalize(input_fft_length) * channels
+        self.block_size = block_size
+        self.fft_size = 2 * block_size
+        self.n_samples = block_size * blocks
+        self.output_sample_shift = os_factor.normalize(input_overlap) * channels
+        self.total_sample_shift = (
+            self.output_sample_shift + (fir_filter_taps - 1) // 2
+        )
+        self.os_factor = os_factor
+
+        if n_test == 1:
+            self.time_domain_args["offset"] = [10 + self.total_sample_shift]
+            self.freq_domain_args["frequency"] = [1 * blocks]
+        else:
+            self.time_domain_args["offset"] = np.linspace(
+                1, self.n_samples, n_test
+            ).astype(int)
+            self.freq_domain_args["frequency"] = (
+                np.linspace(1, block_size, n_test).astype(int) * blocks
+            )
+
+        self.generator = data_gen.generate_test_vector(
+            backend=backend["test_vectors"], n_bins=self.n_samples
+        )
+        self.channelizer = data_gen.channelize(backend=backend["channelize"])
+        self.pipeline = data_gen.pipeline(
+            self.generator,
+            self.channelizer,
+            lambda a, **kwargs: a,
+            output_dir=self.output_dir,
+        )
+        self.synthesizer = functools.partial(
+            data_gen.synthesize,
+            apply_deripple=deripple,
+            backend=backend["synthesize"],
+            fft_window_str=fft_window,
+            input_fft_length=input_fft_length,
+            input_overlap=input_overlap,
+            output_dir=self.output_dir,
+        )
+
+        comp = comparator.MultiDomainComparator(
+            domains={
+                "time": comparator.TimeDomainComparator("time"),
+                "freq": comparator.FrequencyDomainComparator("freq"),
+            }
+        )
+        comp.freq.domain = [0, self.fft_size]
+        comp.operators["this"] = lambda a: a
+        comp.operators["diff"] = lambda a, b: a - b
+        comp.products["mean"] = lambda a: np.mean(np.abs(a))
+        comp.products["sum"] = lambda a: np.sum(np.abs(a))
+        comp.products["max"] = lambda a: np.amax(np.abs(a))
+        comp.products["total_spurious"] = test_util.total_spurious
+        comp.products["mean_spurious"] = test_util.mean_spurious
+        comp.products["max_spurious"] = test_util.max_spurious
+        self.comp = comp
+        self.report: dict = {}
+        self.files: list = []
+
+    # ------------------------------------------------------------------
+    def _test(self, *, test_vector_func, test_vector_args, test_method_name,
+              report_func):
+        method_report = []
+        for arg in test_vector_args:
+            dump_files = test_vector_func(arg)
+            inverted_dump = self.synthesizer(dump_files[1].file_path)
+            input_dat, inverted_dat = self.chop(dump_files[0], inverted_dump)
+
+            _, res_prod_time = self.comp.time(input_dat, inverted_dat)
+            res_op_freq, res_prod_freq = self.comp.freq(
+                input_dat / self.fft_size, inverted_dat / self.fft_size
+            )
+            if self.make_plots:
+                res_op_time, _ = self.comp.time(input_dat, inverted_dat)
+                fig, _ = test_util.plot_freq_domain_comparison(
+                    res_op_time, res_op_freq,
+                    subplots_kwargs=dict(figsize=(10, 14)),
+                    labels=["Input data", "InverseFilterbank"],
+                )
+                fig.suptitle(f"{test_method_name} {arg}")
+                fig.savefig(
+                    os.path.join(products_dir, f"{test_method_name}.{arg}.png")
+                )
+
+            sub_report = report_func(res_prod_time, res_prod_freq)
+            sub_report["arg"] = int(arg)
+            method_report.append(sub_report)
+            module_logger.info("%s arg=%s: %s", test_method_name, arg, sub_report)
+
+            self.files.extend(dump_files)
+            self.files.append(inverted_dump)
+            if not self.save_output:
+                self.dispose()
+        self.report[test_method_name] = method_report
+        return method_report
+
+    def temporal_purity(self):
+        func = data_gen.util.rpartial(
+            functools.partial(self.pipeline, domain_name="time"),
+            self.time_domain_args["width"],
+        )
+
+        def report_func(res_prod_time, res_prod_freq):
+            prod_diff = res_prod_time["diff"][1, 0]
+            prod_this = res_prod_time["this"][1]
+            return {
+                "mean_diff": prod_diff["mean"],
+                "total_diff": prod_diff["sum"],
+                "max_spurious_power": prod_this["max_spurious"],
+                "total_spurious_power": prod_this["total_spurious"],
+                "mean_spurious_power": prod_this["mean_spurious"],
+            }
+
+        return self._test(
+            test_vector_func=func,
+            test_vector_args=self.time_domain_args["offset"],
+            test_method_name="test_time_domain_impulse",
+            report_func=report_func,
+        )
+
+    def spectral_purity(self):
+        func = data_gen.util.rpartial(
+            functools.partial(self.pipeline, domain_name="freq"),
+            self.freq_domain_args["phase"],
+            self.freq_domain_args["bin_offset"],
+        )
+
+        def report_func(res_prod_time, res_prod_freq):
+            prod_diff = res_prod_time["diff"][1, 0]
+            prod_this = res_prod_freq["this"][1]
+            return {
+                "mean_diff": prod_diff["mean"],
+                "total_diff": prod_diff["sum"],
+                "max_spurious_power": prod_this["max_spurious"],
+                "total_spurious_power": prod_this["total_spurious"],
+                "mean_spurious_power": prod_this["mean_spurious"],
+            }
+
+        return self._test(
+            test_vector_func=func,
+            test_vector_args=self.freq_domain_args["frequency"],
+            test_method_name="test_complex_sinusoid",
+            report_func=report_func,
+        )
+
+    def chop(self, input_dump_file, inverted_dump_file):
+        """Align the inverted stream against the input by dropping
+        total_sample_shift input samples (purity.py:276-283)."""
+        input_dat = input_dump_file.data[self.total_sample_shift:, 0, :].flatten()
+        inverted_dat = inverted_dump_file.data.flatten()
+        return input_dat, inverted_dat
+
+    def dispose(self):
+        for f in self.files:
+            path = getattr(f, "file_path", f)
+            if os.path.exists(path):
+                os.remove(path)
+        self.files = []
+        for path in glob.glob(os.path.join(self.output_dir, "channelized.*")):
+            os.remove(path)
+
+    def finish(self) -> str:
+        param_str = ".".join(
+            [
+                f"fft_length-{self.input_fft_length}",
+                f"deripple-{1 if self.deripple else 0}",
+                f"fft_window-{self.fft_window}",
+                f"input_overlap-{self.input_overlap}",
+            ]
+        )
+        path = os.path.join(products_dir, f"report.purity.{param_str}.json")
+        with open(path, "w") as f:
+            json.dump(self.report, f, cls=data_gen.util.NumpyEncoder, indent=2)
+        module_logger.info("purity report written to %s", path)
+        return path
+
+
+def main(argv=None):
+    parsed = create_parser(
+        description="PFB inversion purity verification"
+    ).parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if parsed.verbose else logging.INFO
+    )
+    logging.getLogger("matplotlib").setLevel(logging.ERROR)
+
+    config = data_gen.config.load_config(parsed.sub_config_name)
+    backend = dict(config.backend or {})
+    if parsed.backend:
+        backend = {k: parsed.backend for k in ("test_vectors", "channelize", "synthesize")}
+
+    purity_test = TestPurity(
+        n_test=parsed.n_test,
+        os_factor=config.os_factor,
+        input_fft_length=config.input_fft_length,
+        input_overlap=config.input_overlap,
+        fft_window=config.temporal_taper,
+        deripple=config.deripple,
+        channels=config.channels,
+        fir_filter_taps=config.fir_filter_taps,
+        blocks=config.blocks,
+        backend=backend,
+        save_output=parsed.save_output,
+    )
+    if parsed.do_time:
+        purity_test.temporal_purity()
+    if parsed.do_freq:
+        purity_test.spectral_purity()
+    purity_test.finish()
+
+
+if __name__ == "__main__":
+    main()
