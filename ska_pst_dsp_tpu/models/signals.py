@@ -29,24 +29,30 @@ import numpy as np
 TILE = 16384
 
 
-def _tiled_noise(key: jax.Array, start: int, n: int, shape_per_sample=()) -> jnp.ndarray:
+def _noise_tile(key: jax.Array, ti: int) -> np.ndarray:
+    """One deterministic complex-noise tile, computed on device as two real
+    float32 planes (no complex dtype on TPU) and combined on host."""
+    k = jax.random.fold_in(key, ti)
+    r = np.asarray(jax.random.normal(k, (2, TILE), dtype=jnp.float32))
+    return r[0] + 1j * r[1]
+
+
+def _tiled_noise(key: jax.Array, start: int, n: int) -> np.ndarray:
     """Complex standard-normal noise (unit variance per complex sample,
     i.e. 0.5 per quadrature) for absolute positions [start, start+n),
     independent of blocking."""
     t0 = start // TILE
     t1 = (start + n - 1) // TILE + 1
-    tiles = []
-    for ti in range(t0, t1):
-        k = jax.random.fold_in(key, ti)
-        r = jax.random.normal(k, (2, TILE), dtype=jnp.float32)
-        tiles.append(r[0] + 1j * r[1])
-    full = jnp.concatenate(tiles) if len(tiles) > 1 else tiles[0]
+    tiles = [_noise_tile(key, ti) for ti in range(t0, t1)]
+    full = np.concatenate(tiles) if len(tiles) > 1 else tiles[0]
     off = start - t0 * TILE
     return full[off: off + n]
 
 
 class SignalGenerator:
-    """Protocol: generate(start, n) -> (1, 1, n) complex64 samples."""
+    """Protocol: generate(start, n) -> (1, 1, n) complex64 host samples
+    (numpy — complex never touches the TPU; heavy generation happens on
+    device as split real planes)."""
 
     n_pol = 1
 
@@ -78,13 +84,13 @@ class PureTone(SignalGenerator):
     frequency: float = 1 / 26.5  # cycles per sample
     amplitude: float = 1.0
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         t = np.arange(start, start + n, dtype=np.float64)
         # phase computed in f64 on host: at sample ~1e9 f32 phase error
         # would swamp the -60 dB purity floor
         phase = 2.0 * np.pi * ((self.frequency * t) % 1.0)
         x = self.amplitude * np.exp(1j * phase)
-        return jnp.asarray(x.astype(np.complex64))[None, None, :]
+        return x.astype(np.complex64)[None, None, :]
 
 
 @dataclasses.dataclass
@@ -97,14 +103,15 @@ class Impulse(SignalGenerator):
     noise: float = 1e-6
     seed: int = 0
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         if self.noise != 0:
             x = self.noise * _tiled_noise(jax.random.key(self.seed), start, n)
         else:
-            x = jnp.zeros(n, dtype=jnp.complex64)
+            x = np.zeros(n, dtype=np.complex64)
         if start <= self.offset < start + n:
-            x = x.at[self.offset - start].set(self.amplitude)
-        return x.astype(jnp.complex64)[None, None, :]
+            x = np.array(x)
+            x[self.offset - start] = self.amplitude
+        return x.astype(np.complex64)[None, None, :]
 
 
 @dataclasses.dataclass
@@ -118,15 +125,13 @@ class SquareWave(SignalGenerator):
     off_amp: float = 0.0
     seed: int = 0
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         t = np.arange(start, start + n, dtype=np.int64)
         ioff = int(np.floor(self.period * self.duty_cycle))
         on = (t % self.period) < ioff
         amp = np.where(on, np.sqrt(self.on_amp * 0.5), np.sqrt(self.off_amp * 0.5))
         noise = _tiled_noise(jax.random.key(self.seed), start, n)
-        return (jnp.asarray(amp.astype(np.float32)) * noise).astype(jnp.complex64)[
-            None, None, :
-        ]
+        return (amp.astype(np.float32) * noise).astype(np.complex64)[None, None, :]
 
 
 @dataclasses.dataclass
@@ -149,12 +154,12 @@ class FrequencyComb(SignalGenerator):
         frequencies = np.linspace(fmin, fmax, nharmonic)
         return cls(tuple(amplitudes), tuple(frequencies))
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         t = np.arange(start, start + n, dtype=np.float64)
         x = np.zeros(n, dtype=np.complex128)
         for a, f in zip(self.amplitudes, self.frequencies):
             x += a * np.exp(2j * np.pi * ((f * t) % 1.0))
-        return jnp.asarray(x.astype(np.complex64))[None, None, :]
+        return x.astype(np.complex64)[None, None, :]
 
 
 @dataclasses.dataclass
@@ -167,18 +172,20 @@ class FrequencyWedge(SignalGenerator):
     resolution: int = 1024 * 1024
     seed: int = 0
 
-    def _segment(self, seg_idx: int) -> jnp.ndarray:
+    def _segment(self, seg_idx: int) -> np.ndarray:
+        from ..ops import cfft
+
         k = jax.random.fold_in(jax.random.key(self.seed), seg_idx)
         r = jax.random.normal(k, (2, self.resolution), dtype=jnp.float32)
-        spectrum = r[0] + 1j * r[1]
         slope = jnp.asarray(
             np.sqrt(np.fft.fftshift(np.linspace(0, 1, self.resolution))).astype(
                 np.float32
             )
         )
-        return jnp.fft.ifft(slope * spectrum)
+        br, bi = cfft.ifft(slope * r[0], slope * r[1])
+        return cfft.combine(br, bi)
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         out = []
         pos = start
         remaining = n
@@ -189,8 +196,8 @@ class FrequencyWedge(SignalGenerator):
             out.append(self._segment(seg)[off: off + take])
             pos += take
             remaining -= take
-        x = jnp.concatenate(out) if len(out) > 1 else out[0]
-        return x.astype(jnp.complex64)[None, None, :]
+        x = np.concatenate(out) if len(out) > 1 else out[0]
+        return x.astype(np.complex64)[None, None, :]
 
 
 @dataclasses.dataclass
@@ -202,13 +209,13 @@ class GaussianNoise(SignalGenerator):
     seed: int = 0
     n_pol: int = 1
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         key = jax.random.key(self.seed)
         pols = [
             self.scale * _tiled_noise(jax.random.fold_in(key, 1000 + p), start, n)
             for p in range(self.n_pol)
         ]
-        return jnp.stack(pols)[:, None, :].astype(jnp.complex64)
+        return np.stack(pols)[:, None, :].astype(np.complex64)
 
 
 class DADAReadGenerator(SignalGenerator):
@@ -223,11 +230,11 @@ class DADAReadGenerator(SignalGenerator):
         self.n_pol = int(self.header.get("NPOL", 1))
         self.n_chan = int(self.header.get("NCHAN", 1))
 
-    def generate(self, start: int, n: int) -> jnp.ndarray:
+    def generate(self, start: int, n: int) -> np.ndarray:
         from ..io import dada
 
         data, _ = dada.load(self.path, count=n, offset_samples=start)
-        return jnp.asarray(data)
+        return data
 
 
 def make_generator(name: str, header: dict, *, n_chan: int = 1,

@@ -38,7 +38,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (
@@ -52,14 +51,15 @@ from ..utils import geometry
 from ..utils.rational import Rational
 
 
-def _round_rms(x: jnp.ndarray, rms: float) -> jnp.ndarray:
+def _round_rms(x: np.ndarray, rms: float) -> np.ndarray:
     """Round to integers, optionally pre-scaling to a target rms
-    (FilterBank.m:75-83)."""
+    (FilterBank.m:75-83). Host-side: quantization studies run on the
+    streaming glue path."""
     scale = 1.0
     if rms > 0:
-        std = jnp.sqrt(jnp.var(jnp.stack([x.real, x.imag])) * 2.0)
+        std = np.sqrt(np.var(np.stack([x.real, x.imag])) * 2.0)
         scale = rms / std
-    return jnp.round(x.real * scale) + 1j * jnp.round(x.imag * scale)
+    return (np.round(x.real * scale) + 1j * np.round(x.imag * scale)).astype(x.dtype)
 
 
 @dataclasses.dataclass
@@ -79,7 +79,7 @@ class FilterBank:
     """Streaming analysis filterbank (the reference's Channelizer role)."""
 
     def __init__(self, config, *, rnd_input=False, rms_input=0.0,
-                 rnd_output=False, rms_output=0.0):
+                 rnd_output=False, rms_output=0.0, chunk_spectra=None):
         self.config = config
         self.analysis_function = config.analysis_function
         self.filt_coeff = config.load_fir_filter_coeff()
@@ -91,6 +91,10 @@ class FilterBank:
         self.rms_input = rms_input
         self.rnd_output = rnd_output or rms_output > 0
         self.rms_output = rms_output
+        # fixed spectra emitted per kernel launch: the kernel then compiles
+        # for exactly one input shape regardless of how callers block the
+        # stream (XLA is trace-once; varying shapes would recompile per call)
+        self.chunk_spectra = chunk_spectra
 
     def init_state(self) -> FilterBankState:
         return FilterBankState()
@@ -102,111 +106,134 @@ class FilterBank:
         return self.n_chan
 
     def execute(
-        self, state: FilterBankState, x: jnp.ndarray
-    ) -> Tuple[FilterBankState, jnp.ndarray]:
+        self, state: FilterBankState, x: np.ndarray
+    ) -> Tuple[FilterBankState, np.ndarray]:
         """Process one block: returns (new_state, (n_pol, n_chan_out, n_out))."""
+        x = np.asarray(x)
         if x.ndim == 2:
             x = x[:, None, :]
-        x = jnp.asarray(x)
         if self.rnd_input:
             x = _round_rms(x, self.rms_input)
         if state.buffer is not None and state.buffer.shape[-1] > 0:
-            x = jnp.concatenate([jnp.asarray(state.buffer), x], axis=2)
+            x = np.concatenate([state.buffer, x], axis=2)
         n_dat = int(x.shape[2])
         nu = self.os_factor.nu
         name = self.analysis_function
 
+        if self.chunk_spectra is None:
+            # adapt once to the caller's first block size
+            if name == "polyphase_analysis_lowcbf":
+                usable = (n_dat + FIRST_CALL_PAD - 3072) // 192
+            elif name == "polyphase_analysis_padded":
+                usable = n_dat // self.step
+            else:
+                usable = (n_dat - self.fl) // self.step
+            self.chunk_spectra = max(nu, (usable // nu) * nu)
+
         if name == "polyphase_analysis":
-            return self._execute_plain(state, x, n_dat, nu)
-        if name == "polyphase_analysis_padded":
-            return self._execute_padded(state, x, n_dat, nu)
-        if name == "polyphase_analysis_lowcbf":
-            return self._execute_lowcbf(state, x, n_dat, nu)
-        raise ValueError(f"unknown analysis function {name!r}")
+            step_fn = self._execute_plain
+        elif name == "polyphase_analysis_padded":
+            step_fn = self._execute_padded
+        elif name == "polyphase_analysis_lowcbf":
+            step_fn = self._execute_lowcbf
+        else:
+            raise ValueError(f"unknown analysis function {name!r}")
+
+        outs = []
+        while True:
+            state, out, x = step_fn(state, x, nu)
+            if out.shape[2] == 0:
+                break
+            outs.append(out)
+        state = dataclasses.replace(state, buffer=x)
+        if not outs:
+            return state, _empty_out(x, self.n_chan_out)
+        return state, (outs[0] if len(outs) == 1 else np.concatenate(outs, axis=2))
 
     # -- single-stage (Bunton) ------------------------------------------
-    def _execute_plain(self, state, x, n_dat, nu):
-        if n_dat < self.fl + self.step:
-            return dataclasses.replace(state, buffer=np.asarray(x)), _empty_out(x, self.n_chan)
-        out = polyphase_analysis(
-            x, self.filt_coeff, self.n_chan, self.os_factor, block0=state.emitted
-        )
-        n_out = out.shape[2] - out.shape[2] % nu
-        out = out[:, :, :n_out]
+    def _execute_plain(self, state, x, nu):
+        K = self.chunk_spectra
+        need = self.fl + K * self.step
+        if x.shape[2] < need:
+            return state, _empty_out(x, self.n_chan), x
+        chunk = x[:, :, :need]
+        out = np.asarray(polyphase_analysis(
+            chunk, self.filt_coeff, self.n_chan, self.os_factor,
+            block0=state.emitted,
+        ))[:, :, :K]
         if self.rnd_output:
             out = _round_rms(out, self.rms_output)
-        consumed = n_out * self.step
-        return (
-            FilterBankState(
-                buffer=np.asarray(x[:, :, consumed:]),
-                base=state.base + consumed,
-                emitted=state.emitted + n_out,
-            ),
-            out,
+        consumed = K * self.step
+        state = FilterBankState(
+            buffer=None,
+            base=state.base + consumed,
+            emitted=state.emitted + K,
         )
+        return state, out, x[:, :, consumed:]
 
     # -- zero-padded (Gunaratne / SKA-Mid) ------------------------------
-    def _execute_padded(self, state, x, n_dat, nu):
+    def _execute_padded(self, state, x, nu):
         step, fl = self.step, self.fl
+        K = self.chunk_spectra
         base = state.base
         delay = geometry.padded_sample_delay_shift(
             self.filt_coeff.size, self.n_chan, self.os_factor
         )
-        raw0 = base // step              # absolute raw index of local block 0
-        n_local = n_dat // step
-        jmin = 0 if base == 0 else -(-fl // step)  # local blocks with full history
+        raw0 = base // step
         need = state.emitted + delay     # next absolute raw block to emit
-        n_emit = (raw0 + n_local) - need
-        n_emit -= n_emit % nu
-        if n_emit <= 0 or need - raw0 < jmin:
-            return dataclasses.replace(state, buffer=np.asarray(x)), _empty_out(x, self.n_chan)
-        raw = polyphase_analysis_padded(
-            x, self.filt_coeff, self.n_chan, self.os_factor,
+        n_emit = K
+        # required local stream length to produce blocks up to need+K
+        need_local_blocks = (need + n_emit) - raw0
+        if x.shape[2] < need_local_blocks * step:
+            return state, _empty_out(x, self.n_chan), x
+        chunk = x[:, :, : need_local_blocks * step]
+        raw = np.asarray(polyphase_analysis_padded(
+            chunk, self.filt_coeff, self.n_chan, self.os_factor,
             block0=raw0, apply_delay=False,
-        )
+        ))
         out = raw[:, :, need - raw0: need - raw0 + n_emit]
         if self.rnd_output:
             out = _round_rms(out, self.rms_output)
         emitted = state.emitted + n_emit
-        # next call must see history fl before raw block (emitted+delay)
+        # carry history fl before raw block (emitted+delay)
         new_base = max(0, (emitted + delay) * step - fl)
         new_base -= new_base % step
-        new_base = min(new_base, base + n_dat)
+        new_base = min(new_base, base + x.shape[2])
         return (
-            FilterBankState(
-                buffer=np.asarray(x[:, :, new_base - base:]),
-                base=new_base,
-                emitted=emitted,
-            ),
+            FilterBankState(buffer=None, base=new_base, emitted=emitted),
             out,
+            x[:, :, new_base - base:],
         )
 
     # -- LowCBF firmware model ------------------------------------------
-    def _execute_lowcbf(self, state, x, n_dat, nu):
+    def _execute_lowcbf(self, state, x, nu):
         first = state.base == 0 and state.emitted == 0
         pad = FIRST_CALL_PAD if first else 0
-        if n_dat + pad < 3072 + 192:
-            return dataclasses.replace(state, buffer=np.asarray(x)), _empty_out(x, self.n_chan_out)
-        out = polyphase_analysis_lowcbf(
-            x, self.filt_coeff, self.n_chan, self.os_factor, first_call=first
-        )
-        n_out = out.shape[2] - out.shape[2] % nu
-        out = out[:, :, :n_out]
+        K = self.chunk_spectra
+        need = 3072 + K * 192 - pad
+        if x.shape[2] < need:
+            return state, _empty_out(x, self.n_chan_out), x
+        chunk = x[:, :, :need]
+        out = np.asarray(polyphase_analysis_lowcbf(
+            chunk, self.filt_coeff, self.n_chan, self.os_factor,
+            first_call=first,
+        ))[:, :, :K]
         if self.rnd_output:
             out = _round_rms(out, self.rms_output)
-        consumed = n_out * 192 - pad
+        consumed = K * 192 - pad
         return (
             FilterBankState(
-                buffer=np.asarray(x[:, :, consumed:]),
+                buffer=None,
                 base=state.base + consumed,
-                emitted=state.emitted + n_out,
+                emitted=state.emitted + K,
             ),
             out,
+            x[:, :, consumed:],
         )
 
 
 def _empty_out(x, n_chan_out):
-    return jnp.zeros((x.shape[0], n_chan_out, 0), dtype=x.dtype)
+    return np.zeros((x.shape[0], n_chan_out, 0), dtype=np.complex64)
 
 
 @dataclasses.dataclass
@@ -221,7 +248,7 @@ class InverseFilterBank:
 
     def __init__(self, config, *, critical: bool = False, combine: int = 1,
                  sample_offset: int = 0, spectral_taper: str = "no_window",
-                 deripple: Optional[bool] = None):
+                 deripple: Optional[bool] = None, chunk_blocks: Optional[int] = None):
         self.config = config
         self.filt_coeff = config.load_fir_filter_coeff()
         self.n_fft = config.input_fft_length
@@ -235,6 +262,8 @@ class InverseFilterBank:
         self.combine = combine
         self.sample_offset = sample_offset
         self._offset_pending = sample_offset
+        # fixed overlap-save blocks per kernel launch (single compiled shape)
+        self.chunk_blocks = chunk_blocks
 
     def frequency_taper(self, name: str) -> "InverseFilterBank":
         """Install a spectral taper (InverseFilterBank.m:48-61)."""
@@ -246,43 +275,50 @@ class InverseFilterBank:
         return InverseFilterBankState()
 
     def execute(
-        self, state: InverseFilterBankState, x: jnp.ndarray
-    ) -> Tuple[InverseFilterBankState, jnp.ndarray]:
-        x = jnp.asarray(x)
+        self, state: InverseFilterBankState, x: np.ndarray
+    ) -> Tuple[InverseFilterBankState, np.ndarray]:
+        x = np.asarray(x)
         if state.buffer is not None and state.buffer.shape[-1] > 0:
-            x = jnp.concatenate([jnp.asarray(state.buffer), x], axis=2)
+            x = np.concatenate([state.buffer, x], axis=2)
         n_pol, n_chan, n_dat = x.shape
 
         offset = self._offset_pending
         keep = self.n_fft - 2 * self.overlap
-        n_blocks = (n_dat - offset - 2 * self.overlap) // keep
-        if n_blocks <= 0:
-            return (
-                InverseFilterBankState(buffer=np.asarray(x), consumed=state.consumed),
-                jnp.zeros((n_pol, 1, 0), dtype=x.dtype),
-            )
-        self._offset_pending = 0
+        if self.chunk_blocks is None:
+            avail = (n_dat - offset - 2 * self.overlap) // keep
+            self.chunk_blocks = max(1, avail)
+        B = self.chunk_blocks
+        need = offset + 2 * self.overlap + B * keep
 
-        out = polyphase_synthesis(
-            x,
-            self.n_fft,
-            self.os_factor,
-            spans_nyquist=not self.critical,
-            input_overlap=self.overlap,
-            deripple_coeff=self.filt_coeff if self.deripple else None,
-            sample_offset=offset,
-            temporal_taper=self.temporal_taper,
-            spectral_taper=self.spectral_taper,
-            combine=self.combine,
-        )
-        consumed = offset + n_blocks * keep
-        return (
-            InverseFilterBankState(
-                buffer=np.asarray(x[:, :, consumed:]),
-                consumed=state.consumed + consumed,
-            ),
-            out,
-        )
+        outs = []
+        while x.shape[2] >= need:
+            chunk = x[:, :, :need]
+            out = np.asarray(polyphase_synthesis(
+                chunk,
+                self.n_fft,
+                self.os_factor,
+                spans_nyquist=not self.critical,
+                input_overlap=self.overlap,
+                deripple_coeff=self.filt_coeff if self.deripple else None,
+                sample_offset=offset,
+                temporal_taper=self.temporal_taper,
+                spectral_taper=self.spectral_taper,
+                combine=self.combine,
+            ))
+            outs.append(out)
+            consumed = offset + B * keep
+            x = x[:, :, consumed:]
+            state = InverseFilterBankState(
+                buffer=None, consumed=state.consumed + consumed
+            )
+            if offset:
+                offset = 0
+                self._offset_pending = 0
+                need = 2 * self.overlap + B * keep
+        state = InverseFilterBankState(buffer=x, consumed=state.consumed)
+        if not outs:
+            return state, np.zeros((n_pol, 1, 0), dtype=np.complex64)
+        return state, (outs[0] if len(outs) == 1 else np.concatenate(outs, axis=2))
 
 
 class StatefulPipeline:

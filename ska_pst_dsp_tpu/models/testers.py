@@ -51,7 +51,7 @@ class TestPureTone:
                 nfft = min(v.size, MAX_NFFT_TONE)
                 v = v[:nfft]
                 exp_index = int(round(self.frequency * nfft))
-                spec_db = 20 * np.log10(np.abs(np.fft.fft(v) / nfft) + 1e-300)
+                spec_db = 20 * np.log10(np.abs(np.fft.fft(v) / nfft) + 1e-30)
                 a_index = int(spec_db.argmax())
                 spec_db = spec_db - spec_db[a_index]
                 if a_index != exp_index:
@@ -100,7 +100,7 @@ class TestImpulse:
         for ipol in range(n_pol):
             for ichan in range(n_chan):
                 v = x[ipol, ichan]
-                amp_db = 20 * np.log10(np.abs(v) + 1e-300)
+                amp_db = 20 * np.log10(np.abs(v) + 1e-30)
                 peak_db = amp_db[off]
                 mask = np.ones(nsample, dtype=bool)
                 mask[max(0, off - 1): off + 2] = False

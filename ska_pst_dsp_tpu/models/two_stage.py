@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .streaming import (
@@ -61,8 +60,8 @@ class TwoStageFilterBank:
         )
 
     def execute(
-        self, state: TwoStageFilterBankState, x: jnp.ndarray
-    ) -> Tuple[TwoStageFilterBankState, jnp.ndarray]:
+        self, state: TwoStageFilterBankState, x: np.ndarray
+    ) -> Tuple[TwoStageFilterBankState, np.ndarray]:
         s1, out1 = self.stage1.execute(state.stage1, x)  # (n_pol, nch1, T)
 
         nch1 = 1 if self.single else out1.shape[1]
@@ -88,7 +87,7 @@ class TwoStageFilterBank:
             half = nch2 // 2
             low = out2[:, :, : half - 1, :]
             high = out2[:, :, half - 1 + offset: nch2 + offset, :]
-            out2 = jnp.concatenate([low, high], axis=2)
+            out2 = np.concatenate([low, high], axis=2)
 
         out = out2.reshape(n_pol, nch1 * out2.shape[2], t2)
         return TwoStageFilterBankState(s1, s2), out
@@ -144,8 +143,8 @@ class TwoStageInverseFilterBank:
         return TwoStageInverseFilterBankState(self._inv.init_state())
 
     def execute(
-        self, state: TwoStageInverseFilterBankState, x: jnp.ndarray
-    ) -> Tuple[TwoStageInverseFilterBankState, jnp.ndarray]:
+        self, state: TwoStageInverseFilterBankState, x: np.ndarray
+    ) -> Tuple[TwoStageInverseFilterBankState, np.ndarray]:
         n_pol, nchan, n_dat = x.shape
         nch_in = self.nch2 * self.combine
         nch_out = nchan // nch_in
