@@ -1,0 +1,152 @@
+"""PFB inversion parameter studies.
+
+Equivalents of the reference's matlab/pfb_param_opt/ scripts:
+derippling_effect.m:1-60 (reconstruction error with deripple on/off versus
+filter length), overlap_effect.m:1-80 and overlap_parameter_search.m:1-216
+(overlap-save discard size versus purity), phase_offset_effect.m (tone
+phase versus reconstruction error).
+
+Each study runs tones/impulses through a one-shot analysis+inversion with a
+swept parameter and reports max/total spurious power; results are returned
+as records and optionally plotted.
+
+    python -m ska_pst_dsp_tpu.analysis.param_opt --study overlap -c low
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..data_gen.config import products_dir
+from ..data_gen.generate_test_vector import complex_sinusoid
+from ..data_gen.util import NumpyEncoder
+from ..design import fir
+from ..ops import polyphase_analysis, polyphase_synthesis
+from ..utils import geometry
+from ..utils.config import load_config
+from ..utils.rational import Rational
+from ..verify.util import DomainPerformance
+
+module_logger = logging.getLogger(__name__)
+
+
+def _roundtrip(sig, filt, n_chan, os_f, L, ov, deripple, taper="tukey"):
+    chan = polyphase_analysis(sig[None, None], filt, n_chan, os_f)
+    inv = np.asarray(
+        polyphase_synthesis(
+            chan, L, os_f, input_overlap=ov,
+            deripple_coeff=filt if deripple else None, temporal_taper=taper,
+        )
+    )[0, 0]
+    shift = geometry.total_sample_shift(n_chan, os_f, filt.size, ov)
+    n = min(inv.size, sig.size - shift)
+    return sig[shift: shift + n], inv[:n]
+
+
+def derippling_effect(n_chan=64, os_f=Rational(4, 3), L=128, ov=24,
+                      taps_per_chan=(6, 8, 12, 16, 20), freq_bin=0.23):
+    """Deripple on/off reconstruction error versus filter length
+    (derippling_effect.m)."""
+    perf = DomainPerformance(guard=1)
+    records = []
+    for tpc in taps_per_chan:
+        filt = fir.design_pfb_fir_filter(n_chan, os_f, tpc)
+        block = os_f.normalize(L) * n_chan
+        sig = complex_sinusoid(block * 4, [freq_bin], [np.pi / 4],
+                               dtype=np.complex64)
+        for deripple in (False, True):
+            inp, inv = _roundtrip(sig, filt, n_chan, os_f, L, ov, deripple)
+            d = perf.temporal_difference(inp, inv)
+            records.append({
+                "taps_per_chan": tpc, "deripple": deripple,
+                "mean_diff": d["mean"], "max_diff": d["max"],
+            })
+            module_logger.info("%s", records[-1])
+    return records
+
+
+def overlap_effect(n_chan=64, os_f=Rational(4, 3), L=128,
+                   overlaps=(0, 8, 16, 24, 32, 40), freq_bin=0.23):
+    """Overlap-discard size versus spectral purity (overlap_effect.m /
+    overlap_parameter_search.m)."""
+    perf = DomainPerformance(guard=1)
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    records = []
+    for ov in overlaps:
+        if (L - 2 * ov) <= 0 or (os_f.normalize(ov * os_f.nu) % os_f.nu):
+            pass
+        try:
+            block = os_f.normalize(L) * n_chan
+        except ValueError:
+            continue
+        sig = complex_sinusoid(block * 4, [freq_bin], [np.pi / 4],
+                               dtype=np.complex64)
+        try:
+            inp, inv = _roundtrip(sig, filt, n_chan, os_f, L, ov, True)
+        except ValueError:
+            continue
+        nfft = (inv.size // block) * block
+        if nfft == 0:
+            continue
+        r = perf.spectral_performance(inv, nfft)
+        d = perf.temporal_difference(inp, inv)
+        records.append({"overlap": ov, **r, "mean_diff": d["mean"]})
+        module_logger.info("%s", records[-1])
+    return records
+
+
+def phase_offset_effect(n_chan=64, os_f=Rational(4, 3), L=128, ov=24,
+                        phases=np.linspace(0, 2 * np.pi, 9)):
+    """Tone phase versus reconstruction error (phase_offset_effect.m)."""
+    perf = DomainPerformance(guard=1)
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    block = os_f.normalize(L) * n_chan
+    records = []
+    for ph in phases:
+        sig = complex_sinusoid(block * 4, [0.23], [float(ph)],
+                               dtype=np.complex64)
+        inp, inv = _roundtrip(sig, filt, n_chan, os_f, L, ov, True)
+        d = perf.temporal_difference(inp, inv)
+        records.append({"phase": float(ph), "mean_diff": d["mean"],
+                        "max_diff": d["max"]})
+        module_logger.info("%s", records[-1])
+    return records
+
+
+STUDIES = {
+    "deripple": derippling_effect,
+    "overlap": overlap_effect,
+    "phase": phase_offset_effect,
+}
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="param_opt",
+                                description="PFB parameter studies")
+    p.add_argument("--study", choices=sorted(STUDIES), default="overlap")
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if a.verbose else logging.INFO)
+    records = STUDIES[a.study]()
+    os.makedirs(products_dir, exist_ok=True)
+    out = os.path.join(products_dir, f"param_opt.{a.study}.json")
+    with open(out, "w") as f:
+        json.dump(records, f, cls=NumpyEncoder, indent=2)
+    module_logger.info("study written to %s", out)
+    return 0
+
+
+def main():
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()
