@@ -103,6 +103,39 @@ def _data_dtype(header: Dict[str, str]) -> np.dtype:
         raise ValueError(f"unsupported NBIT={nbit}") from None
 
 
+def load_split(path: str, count: Optional[int] = None, offset_samples: int = 0
+               ) -> Tuple[np.ndarray, np.ndarray, Dict[str, str]]:
+    """Load a DADA file as split (re, im) float32 planes
+    ((n_pol, n_chan, n_dat) each, plus the header) through the native C++
+    engine (mmap + threaded corner turn) — the fast path feeding the TPU,
+    where complex dtypes never exist. Requires NDIM=2 and the native
+    library; see :func:`load` for the generic path."""
+    from . import native
+
+    header = read_header(path)
+    if int(header.get("NDIM", 2)) != 2:
+        raise ValueError("load_split requires complex (NDIM=2) data")
+    n_pol = int(header.get("NPOL", 1))
+    n_chan = int(header.get("NCHAN", 1))
+    nbit = int(header.get("NBIT", 32))
+    hdr_size = int(header["HDR_SIZE"])
+    if count is None:
+        bytes_per_samp = n_pol * n_chan * 2 * (nbit // 8)
+        count = (os.path.getsize(path) - hdr_size) // bytes_per_samp - offset_samples
+    if header.get("INSTRUMENT") == "LowCBF":
+        if offset_samples % 32 or count % 32:
+            raise ValueError("LowCBF windows must be whole 32-sample heaps")
+        re, im = native.read_lowcbf_split(
+            path, hdr_size, n_pol, n_chan, nbit,
+            offset_samples // 32, count // 32,
+        )
+    else:
+        re, im = native.read_split(
+            path, hdr_size, n_pol, n_chan, nbit, offset_samples, count
+        )
+    return re, im, header
+
+
 def load(path: str, count: Optional[int] = None, offset_samples: int = 0
          ) -> Tuple[np.ndarray, Dict[str, str]]:
     """Load a DADA file → ((n_pol, n_chan, n_dat) array, header).

@@ -1,0 +1,253 @@
+"""Fused Pallas analysis PFB kernel.
+
+The XLA-composed analysis pipeline materializes a (nblocks, padded_taps)
+frame tensor in HBM (a ~16x blow-up of the input) and round-trips HBM
+between framing, fold, DFT and ramp. This kernel fuses the whole chain into
+ONE pallas_call per stream:
+
+  * with L = lcm(step, block) and A = L/step output blocks per superblock,
+    each grid step issues A DMAs per complex component, each shifted by
+    a*step samples — after which every polyphase-fold term
+    x[k*step + m*block + j] is a *lane-aligned static slice*
+    xb[a][m*block//L + K, (m*block % L) + j] of a (rows, L) VMEM view
+    (L is a multiple of block, so slices never cross rows and lane offsets
+    are multiples of 128). No gathers, no frame tensor, input read ~A times
+    from HBM instead of taps/step (~16) times;
+  * the complex DFT is a single (TILE, 2*block) @ (2*block, 2*block) MXU
+    matmul against the [[Dr, Di], [-Di, Dr]] block matrix (see ops/cfft);
+  * the phase-ramp derotation multiplies in VMEM and the result is written
+    back transposed to the (pol, block, time) layout.
+
+Mathematically identical to ops.analysis.polyphase_analysis (same fold +
+DFT + ramp; differential-tested in tests/test_pallas.py). Requires
+block % 128 == 0 (true for every production geometry: 256 / 4096 channels).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import geometry
+from ...utils.rational import Rational
+from .. import analysis as _analysis
+from .. import cfft
+
+#: VMEM budget for the DMA'd input spans (bytes, all components + shifts)
+_SPAN_BUDGET = 8 * 1024 * 1024
+
+
+def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
+    """Choose (TILE_K, L, A, NS2): spectra per grid step, superblock length,
+    blocks per superblock, and VMEM rows per shifted span."""
+    L = math.lcm(step, block)
+    A = L // step
+    tile = A
+
+    def ns2(t):
+        return t // A + -(-fl // L) + 1
+
+    while True:
+        cand = tile * 2
+        if cand > 1024 or 2 * A * ns2(cand) * L * 4 > _SPAN_BUDGET:
+            break
+        tile = cand
+    while tile % nu or tile % A:
+        tile += A
+    return tile, L, A, ns2(tile)
+
+
+def _kernel(
+    xr_hbm, xi_hbm,          # (A, P, n_shift) ANY/HBM, P even — pre-shifted
+    f2d_ref,                 # (phases, block) VMEM
+    dblk_ref,                # (2*block, 2*block) VMEM
+    rampr_ref, rampi_ref,    # (TILE_K, block) VMEM
+    or_ref, oi_ref,          # out tiles (2, block, TILE_K) VMEM
+    xbr, xbi,                # scratch (A, 2, NS2*L) VMEM
+    sems,                    # DMA semaphores (2, A)
+    *,
+    block: int, step: int, phases: int,
+    tile_k: int, sup_l: int, sup_a: int, ns2: int,
+):
+    t = pl.program_id(1)
+    pg = pl.program_id(0)   # polarization pair (HBM sublane tiling is 2)
+    base = t * tile_k * step
+
+    copies = []
+    for a in range(sup_a):
+        for c, (hbm, buf) in enumerate(((xr_hbm, xbr), (xi_hbm, xbi))):
+            # base = t*tile_k*step is a multiple of L (lane-tiling aligned);
+            # the a*step shift lives in the pre-staged copy a
+            cp = pltpu.make_async_copy(
+                hbm.at[a, pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
+                buf.at[a],
+                sems.at[c, a],
+            )
+            cp.start()
+            copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    ksup = tile_k // sup_a
+    f2d = f2d_ref[:]
+
+    def fold(xb):
+        accs = []
+        for a in range(sup_a):
+            view = xb[a].reshape(2, ns2, sup_l)
+            acc = jnp.zeros((2, ksup, block), jnp.float32)
+            for m in range(phases):
+                ob = m * block
+                p_, rem = divmod(ob, sup_l)  # rem is a multiple of block
+                acc = acc + f2d[m] * view[:, p_: p_ + ksup, rem: rem + block]
+            accs.append(acc)
+        # folded[p, k = K*A + a] = accs[a][p, K]
+        return jnp.stack(accs, axis=2).reshape(2 * tile_k, block)
+
+    fr = fold(xbr)
+    fi = fold(xbi)
+
+    cat = jnp.concatenate([fr, fi], axis=1)  # (2*TILE_K, 2*block)
+    spec = jnp.dot(cat, dblk_ref[:], preferred_element_type=jnp.float32)
+    sr = (spec[:, :block] * block).reshape(2, tile_k, block)
+    si = (spec[:, block:] * block).reshape(2, tile_k, block)
+
+    rr = rampr_ref[:]
+    ri = rampi_ref[:]
+    or_ref[...] = jnp.transpose(sr * rr - si * ri, (0, 2, 1))
+    oi_ref[...] = jnp.transpose(sr * ri + si * rr, (0, 2, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "step", "fl", "interpret")
+)
+def _fused_call(xr, xi, f2d, dblk, rampr, rampi, *, block, step, fl,
+                interpret=False):
+    n_pol, n_pad = xr.shape
+    phases = fl // block
+    tile_k = rampr.shape[0]
+    sup_l = math.lcm(step, block)
+    sup_a = sup_l // step
+    ns2 = tile_k // sup_a + -(-fl // sup_l) + 1
+    tail = (sup_a - 1) * step + ns2 * sup_l
+    nblocks_pad = (n_pad - tail) // (tile_k * step) + 1
+
+    # pre-stage A shifted copies so every in-kernel DMA offset is a multiple
+    # of L (and therefore of the 128-lane tiling) — one extra HBM pass
+    n_shift = (nblocks_pad - 1) * tile_k * step + ns2 * sup_l
+    xr_s = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xr, a * step, n_shift, axis=1)
+        for a in range(sup_a)
+    ])
+    xi_s = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xi, a * step, n_shift, axis=1)
+        for a in range(sup_a)
+    ])
+
+    kern = functools.partial(
+        _kernel, block=block, step=step, phases=phases,
+        tile_k=tile_k, sup_l=sup_l, sup_a=sup_a, ns2=ns2,
+    )
+    grid = (n_pol // 2, nblocks_pad)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pol, block, nblocks_pad * tile_k), jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, block, nblocks_pad * tile_k), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((phases, block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, block, tile_k), lambda p, t: (p, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block, tile_k), lambda p, t: (p, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((sup_a, 2, ns2 * sup_l), jnp.float32),
+            pltpu.VMEM((sup_a, 2, ns2 * sup_l), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, sup_a)),
+        ],
+        interpret=interpret,
+    )(xr_s, xi_s, f2d, dblk, rampr, rampi)
+
+
+def polyphase_analysis_fused(
+    x,
+    filt,
+    block: int,
+    os_factor,
+    *,
+    block0: int = 0,
+    interpret: bool = False,
+):
+    """Fused single-stage analysis PFB (drop-in for
+    ops.polyphase_analysis). Complex/tuple in → same kind out."""
+    os_factor = Rational.coerce(os_factor)
+    if block % 128:
+        raise ValueError("fused kernel requires block % 128 == 0")
+    pair_in = isinstance(x, tuple)
+    if pair_in:
+        xr, xi = x
+    else:
+        if hasattr(x, "ndim") and x.ndim == 3:
+            x = x[:, 0, :]
+        xr, xi = cfft.split(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
+    if block0 % os_factor.nu:
+        raise ValueError("block0 must be a multiple of nu for the fused kernel")
+
+    step = geometry.analysis_step(block, os_factor)
+    f2d = _analysis._prep_filter(filt, block)
+    phases = f2d.shape[0]
+    fl = phases * block
+    nu = os_factor.nu
+    tile_k, sup_l, sup_a, ns2 = _plan(block, step, fl, nu)
+
+    n_pol, n_dat = xr.shape
+    pol_pad = n_pol % 2
+    nblocks = (n_dat - fl) // step
+    nblocks_pad = max(1, -(-nblocks // tile_k))
+    tail = (sup_a - 1) * step + ns2 * sup_l
+    n_pad = (nblocks_pad - 1) * tile_k * step + tail
+    pad = max(0, n_pad - n_dat)
+    if pad > 0 or pol_pad:
+        xr = jnp.pad(jnp.asarray(xr), [(0, pol_pad), (0, pad)])[:, :n_pad]
+        xi = jnp.pad(jnp.asarray(xi), [(0, pol_pad), (0, pad)])[:, :n_pad]
+    else:
+        xr, xi = jnp.asarray(xr)[:, :n_pad], jnp.asarray(xi)[:, :n_pad]
+
+    dblk = cfft._dft_block(block, inverse=False)
+    rr4, ri4 = _analysis._phase_ramp(block, step, nu, 0)
+    rampr = np.tile(rr4, (tile_k // nu, 1))
+    rampi = np.tile(ri4, (tile_k // nu, 1))
+
+    outr, outi = _fused_call(
+        xr, xi,
+        jnp.asarray(f2d), jnp.asarray(dblk),
+        jnp.asarray(rampr), jnp.asarray(rampi),
+        block=block, step=step, fl=fl, interpret=interpret,
+    )
+    outr = outr[:n_pol, :, :nblocks]
+    outi = outi[:n_pol, :, :nblocks]
+    return (outr, outi) if pair_in else cfft.combine(outr, outi)
