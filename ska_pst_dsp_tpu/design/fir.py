@@ -332,3 +332,20 @@ def load_or_design(cfg) -> np.ndarray:
     raise FileNotFoundError(
         f"no coefficients at {path} and no designer matches its name"
     )
+
+
+def recenter_coefficients(h: np.ndarray, target_taps: Optional[int] = None) -> np.ndarray:
+    """Extract the symmetric center of an externally supplied coefficient
+    set (recenter_mid_coefficients.m:20-40: NRC-delivered hQ arrays carry
+    asymmetric padding; keep the window centered on the peak)."""
+    h = np.asarray(h, dtype=np.float64).ravel()
+    if target_taps is None or target_taps >= h.size:
+        return h
+    center = int(np.argmax(np.abs(h)))
+    half = target_taps // 2
+    lo = max(0, center - half)
+    hi = lo + target_taps
+    if hi > h.size:
+        hi = h.size
+        lo = hi - target_taps
+    return h[lo:hi].copy()

@@ -188,3 +188,46 @@ class TestConfig:
         cfg = load_config("low")
         hdr = cfg.load_header()
         assert "TSAMP" in hdr and "UTC_START" in hdr
+
+
+class TestTestbench:
+    def test_hex_roundtrip(self, tmp_path):
+        from ska_pst_dsp_tpu.io.testbench import load_fb_tb_data, fb_tb_to_dada
+        from ska_pst_dsp_tpu.io import dada
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        n_chan, n_pol, n_t = 4, 2, 16
+        re = rng.integers(-3000, 3000, (n_t, n_chan, n_pol))
+        im = rng.integers(-3000, 3000, (n_t, n_chan, n_pol))
+        lines = []
+        for t in range(n_t):
+            for f in range(n_chan):
+                for p in range(n_pol):
+                    word = ((int(im[t, f, p]) & 0xFFFF) << 16) | (
+                        int(re[t, f, p]) & 0xFFFF)
+                    lines.append(f"{word:08x}")
+        hexfile = tmp_path / "tb.hex"
+        hexfile.write_text("\n".join(lines) + "\n")
+        arr = load_fb_tb_data(str(hexfile), n_chan, n_pol)
+        assert arr.shape == (n_pol, n_chan, n_t)
+        np.testing.assert_array_equal(arr[1, 2].real, re[:, 2, 1])
+        np.testing.assert_array_equal(arr[0, 3].imag, im[:, 3, 0])
+        out = fb_tb_to_dada(str(hexfile), str(tmp_path / "tb.dada"),
+                            n_chan=n_chan)
+        loaded, hdr = dada.load(out)
+        np.testing.assert_array_equal(loaded, arr)
+        assert hdr["PFB_NCHAN"] == "4"
+
+
+class TestRecenter:
+    def test_recenter_extracts_peak_window(self):
+        from ska_pst_dsp_tpu.design.fir import recenter_coefficients
+        import numpy as np
+
+        h = np.zeros(100)
+        h[60] = 1.0
+        h[55:66] = np.hamming(11)
+        out = recenter_coefficients(h, 21)
+        assert out.size == 21
+        assert np.argmax(np.abs(out)) == 10

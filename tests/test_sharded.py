@@ -131,3 +131,59 @@ class TestShardedRoundTrip:
         n = min(out.size, n_dat - shift)
         err = np.abs(out[:n] - x[0, shift: shift + n])
         assert err.mean() < 2e-3
+
+
+class TestCornerTurn2D:
+    """Channel x time mesh with all-to-all corner turn vs one-shot."""
+
+    def test_2d_synthesis_matches_oneshot(self):
+        from ska_pst_dsp_tpu.parallel.corner_turn import (
+            make_mesh_2d, sharded_polyphase_synthesis_2d,
+        )
+        from ska_pst_dsp_tpu.ops import cfft
+
+        os_f = Rational(4, 3)
+        n_chan, L, ov = 16, 64, 8
+        keep = L - 2 * ov
+        filt = _filt(8 * n_chan + 1, n_chan)
+        dc, dt = 2, 4
+        n_dat = dt * keep * 8  # 8 blocks per time shard, divisible by dc
+        x = _noise((2, n_chan, n_dat), seed=7)
+        one = np.asarray(
+            polyphase_synthesis(
+                x, L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey",
+            )
+        )
+        mesh = make_mesh_2d(dc, dt)
+        shd = cfft.combine(*sharded_polyphase_synthesis_2d(
+            x, L, os_f, mesh, input_overlap=ov, deripple_coeff=filt,
+            temporal_taper="tukey",
+        ))
+        assert shd.shape == one.shape
+        scale = np.abs(one).max()
+        np.testing.assert_allclose(shd, one, atol=2e-6 * scale, rtol=0)
+
+    def test_2d_4x2_mesh(self):
+        from ska_pst_dsp_tpu.parallel.corner_turn import (
+            make_mesh_2d, sharded_polyphase_synthesis_2d,
+        )
+        from ska_pst_dsp_tpu.ops import cfft
+
+        os_f = Rational(8, 7)
+        n_chan, L, ov = 8, 112, 8
+        keep = L - 2 * ov
+        filt = _filt(8 * n_chan + 1, n_chan)
+        dc, dt = 4, 2
+        n_dat = dt * keep * 12
+        x = _noise((1, n_chan, n_dat), seed=8)
+        one = np.asarray(
+            polyphase_synthesis(x, L, os_f, input_overlap=ov,
+                                temporal_taper="hann")
+        )
+        mesh = make_mesh_2d(dc, dt)
+        shd = cfft.combine(*sharded_polyphase_synthesis_2d(
+            x, L, os_f, mesh, input_overlap=ov, temporal_taper="hann",
+        ))
+        scale = np.abs(one).max()
+        np.testing.assert_allclose(shd, one, atol=2e-6 * scale, rtol=0)
