@@ -6,10 +6,16 @@ The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
 computed against the NumPy oracle executing the same math on this host's
 CPU — the stand-in for the reference's single-threaded implementation.
 
+Measurement: the forward step is chained ``reps`` times inside one jitted
+``lax.scan`` whose carry creates a data dependency between iterations (so
+XLA cannot hoist or elide any of them), and only ONE scalar leaves the
+device. This times pure device execution — full-array device→host transfers
+over the tunnelled TPU carry seconds of latency and would otherwise swamp
+the measurement by 100x.
+
 The compute path is split-complex with matmul DFTs (ska_pst_dsp_tpu.ops.cfft)
-— the TPU backend here has no complex dtype / FFT op. Timing syncs through a
-scalar reduction fetched once at the end (full-array device→host transfers
-over the tunnel carry seconds of latency and would swamp the measurement).
+— the TPU backend here has no complex dtype / FFT op. On TPU the analysis
+stage runs the fused Pallas kernel (ops/pallas/analysis_fused).
 """
 
 import json
@@ -31,29 +37,41 @@ def _build(n_dat):
     return os_f, filt, n_chan, L, ov, xr, xi
 
 
-def bench_tpu(n_dat=2**21, reps=10):
+def bench_tpu(n_dat=2**21, reps=50):
     import jax
     import jax.numpy as jnp
     from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
+    from ska_pst_dsp_tpu.ops.pallas.analysis_fused import (
+        polyphase_analysis_fused,
+    )
 
     os_f, filt, n_chan, L, ov, xr, xi = _build(n_dat)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    analysis = polyphase_analysis_fused if on_tpu else polyphase_analysis
 
     def forward(a, b):
-        cr, ci = polyphase_analysis((a, b), filt, n_chan, os_f)
+        cr, ci = analysis((a, b), filt, n_chan, os_f)
         return polyphase_synthesis(
             (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
             temporal_taper="tukey",
         )
 
-    fwd = jax.jit(forward)
-    fwd_sync = jax.jit(lambda a, b: sum(map(jnp.sum, forward(a, b))))
+    def chained(a, b):
+        def body(c, _):
+            # c*0 keeps a data dependency on the carry; s*1e-30 folds each
+            # iteration's result back into it — serializes all reps.
+            o = forward(a + c * 0, b)
+            s = sum(map(jnp.sum, o))
+            return c + s * 1e-30, s
+        c, ss = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return ss.sum()
+
+    ch = jax.jit(chained)
     ar = jax.device_put(xr)
     ai = jax.device_put(xi)
-    float(fwd_sync(ar, ai))  # compile + warm
+    float(ch(ar, ai))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps - 1):
-        fwd(ar, ai)
-    float(fwd_sync(ar, ai))  # scalar sync
+    float(ch(ar, ai))  # one scalar crosses the tunnel
     dt = (time.perf_counter() - t0) / reps
     return (xr.shape[0] * n_dat) / dt
 

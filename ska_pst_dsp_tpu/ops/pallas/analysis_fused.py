@@ -40,8 +40,12 @@ from ...utils.rational import Rational
 from .. import analysis as _analysis
 from .. import cfft
 
-#: VMEM budget for the DMA'd input spans (bytes, all components + shifts)
-_SPAN_BUDGET = 8 * 1024 * 1024
+#: VMEM budget for the DMA'd input spans (bytes, all components + shifts).
+#: v5e scoped VMEM tops out at 16 MiB shared with the double-buffered output
+#: tiles, the DFT matrix, ramps and the fold/matmul temporaries — 8 MiB of
+#: spans pushed the real-hardware total past the limit, so keep the spans
+#: small enough that the whole working set stays well under 16 MiB.
+_SPAN_BUDGET = 1536 * 1024
 
 
 def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
@@ -115,7 +119,10 @@ def _kernel(
     fi = fold(xbi)
 
     cat = jnp.concatenate([fr, fi], axis=1)  # (2*TILE_K, 2*block)
-    spec = jnp.dot(cat, dblk_ref[:], preferred_element_type=jnp.float32)
+    # bare-bf16 MXU passes give ~3e-3 relative error — far above the −60 dB
+    # purity floor — so the DFT GEMM honours the same precision knob as cfft
+    spec = jnp.dot(cat, dblk_ref[:], preferred_element_type=jnp.float32,
+                   precision=cfft._PRECISION)
     sr = (spec[:, :block] * block).reshape(2, tile_k, block)
     si = (spec[:, block:] * block).reshape(2, tile_k, block)
 
