@@ -33,16 +33,58 @@ import numpy as np
 Array = jax.Array
 BASE = 512  # largest direct-DFT matmul
 
-# fp32 matmul precision for the DFT GEMMs. HIGHEST = multi-pass bf16 ≈ fp32
-# everywhere; on backends whose default f32 GEMM is already full precision
-# set SKA_PST_FFT_PRECISION=default for the faster path.
+# fp32 matmul precision for the DFT GEMMs. HIGH = bf16x3 passes, which
+# carries full fp32 operand significance (measured end-to-end tone purity on
+# v5e is identical to HIGHEST at -83.5 dB, ~2x cheaper); HIGHEST = bf16x6.
+# Bare bf16 ("default") gives ~3e-3 relative error — fails the -60 dB purity
+# floor — and is only for experiments. CPU ignores the knob (f32 is exact).
 import os as _os
 
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": None,
-}[_os.environ.get("SKA_PST_FFT_PRECISION", "highest").lower()]
+}[_os.environ.get("SKA_PST_FFT_PRECISION", "high").lower()]
+
+# Mosaic (Pallas TPU) only lowers DEFAULT and HIGHEST dot precisions; HIGH
+# rounds up to HIGHEST inside kernels.
+_KERNEL_PRECISION = (
+    jax.lax.Precision.HIGHEST if _PRECISION is not None else None
+)
+
+
+def kernel_dot(a, bh, bl):
+    """fp32-accurate GEMM for Pallas kernels: manual bf16x3 against a
+    pre-split constant matrix (bh + bl == b in fp32). Mosaic lowers only
+    DEFAULT (bare bf16, ~3e-3 relative error — fails the purity floor) and
+    HIGHEST (bf16x6); three bf16 passes a_hi@b_hi + a_hi@b_lo + a_lo@b_hi
+    carry full fp32 operand significance (error ~2^-21) at half HIGHEST's
+    cost. Honors the env knob: 'highest' falls back to one HIGHEST dot.
+    """
+    if _PRECISION is jax.lax.Precision.HIGHEST:
+        b = bh.astype(jnp.float32) + bl.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if _PRECISION is None:
+        return jnp.dot(a.astype(jnp.bfloat16), bh,
+                       preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(al, bh, preferred_element_type=jnp.float32)
+    return acc
+
+
+def split_bf16(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Split an fp32 constant matrix into (hi, lo) bf16 parts for
+    :func:`kernel_dot` (hi + lo reproduces the fp32 value exactly)."""
+    m = np.asarray(m, dtype=np.float32)
+    import ml_dtypes
+
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
 
 # Which lowering to use: the matmul path is the TPU-native implementation
 # (this environment's TPU backend has no XLA FFT op); CPU uses the native
@@ -112,6 +154,24 @@ def _base_fft_last(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
     return out[..., :n], out[..., n:]
 
 
+def _base_fft_axis2(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
+    """DFT along axis -2 (length must be <= BASE) as one LEFT block-matmul:
+    [Br; Bi] = [[Dr, Di], [-Di, Dr]]^T @ [Ar; Ai] — contracting axis -2
+    directly, so the four-step driver never transposes operands."""
+    n = xr.shape[-2]
+    d = jnp.asarray(_dft_block(n, inverse))  # right-mult convention
+    a2 = jnp.concatenate([xr, xi], axis=-2)  # (..., 2n, m)
+    nb = a2.ndim - 2
+    # out[..., k, j] = sum_i d[i, k] * a2[..., i, j]  (d transposed == left)
+    out = jax.lax.dot_general(
+        a2, d,
+        dimension_numbers=(((nb,), (0,)), ((), ())),
+        precision=_PRECISION,
+    )  # (..., m, 2n): contracted axis replaced, d-dim appended last
+    out = jnp.swapaxes(out, -1, -2)
+    return out[..., :n, :], out[..., n:, :]
+
+
 def _fft_last(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
     n = xr.shape[-1]
     if n <= BASE:
@@ -119,15 +179,18 @@ def _fft_last(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
     n1 = _split_factor(n)
     n2 = n // n1
     batch = xr.shape[:-1]
-    # x[n1 + N1*n2] → view [..., n2, n1]
+    # x[n1 + N1*n2] → view [..., n2, n1] (row-major: no data movement)
     xr3 = xr.reshape(*batch, n2, n1)
     xi3 = xi.reshape(*batch, n2, n1)
-    # inner transform over n2 (axis -2)
-    br, bi = _fft_last(
-        jnp.swapaxes(xr3, -1, -2), jnp.swapaxes(xi3, -1, -2), inverse
-    )  # [..., n1, k2]
-    br = jnp.swapaxes(br, -1, -2)  # [..., k2, n1]
-    bi = jnp.swapaxes(bi, -1, -2)
+    # inner transform over n2 (axis -2): left matmul, no transposes
+    if n2 <= BASE:
+        br, bi = _base_fft_axis2(xr3, xi3, inverse)  # [..., k2, n1]
+    else:
+        br, bi = _fft_last(
+            jnp.swapaxes(xr3, -1, -2), jnp.swapaxes(xi3, -1, -2), inverse
+        )
+        br = jnp.swapaxes(br, -1, -2)
+        bi = jnp.swapaxes(bi, -1, -2)
     tr, ti = _twiddle(n1, n2, n, inverse)
     cr = br * tr - bi * ti
     ci = br * ti + bi * tr

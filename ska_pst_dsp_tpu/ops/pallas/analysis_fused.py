@@ -71,7 +71,7 @@ def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
 def _kernel(
     xr_hbm, xi_hbm,          # (A, P, n_shift) ANY/HBM, P even — pre-shifted
     f2d_ref,                 # (phases, block) VMEM
-    dblk_ref,                # (2*block, 2*block) VMEM
+    dblk_h_ref, dblk_l_ref,  # (2*block, 2*block) bf16 hi/lo VMEM
     rampr_ref, rampi_ref,    # (TILE_K, block) VMEM
     or_ref, oi_ref,          # out tiles (2, block, TILE_K) VMEM
     xbr, xbi,                # scratch (A, 2, NS2*L) VMEM
@@ -120,9 +120,8 @@ def _kernel(
 
     cat = jnp.concatenate([fr, fi], axis=1)  # (2*TILE_K, 2*block)
     # bare-bf16 MXU passes give ~3e-3 relative error — far above the −60 dB
-    # purity floor — so the DFT GEMM honours the same precision knob as cfft
-    spec = jnp.dot(cat, dblk_ref[:], preferred_element_type=jnp.float32,
-                   precision=cfft._PRECISION)
+    # purity floor — so the DFT GEMM runs split-bf16x3 (see cfft.kernel_dot)
+    spec = cfft.kernel_dot(cat, dblk_h_ref[:], dblk_l_ref[:])
     sr = (spec[:, :block] * block).reshape(2, tile_k, block)
     si = (spec[:, block:] * block).reshape(2, tile_k, block)
 
@@ -135,8 +134,8 @@ def _kernel(
 @functools.partial(
     jax.jit, static_argnames=("block", "step", "fl", "interpret")
 )
-def _fused_call(xr, xi, f2d, dblk, rampr, rampi, *, block, step, fl,
-                interpret=False):
+def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
+                fl, interpret=False):
     n_pol, n_pad = xr.shape
     phases = fl // block
     tile_k = rampr.shape[0]
@@ -177,6 +176,8 @@ def _fused_call(xr, xi, f2d, dblk, rampr, rampi, *, block, step, fl,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
@@ -195,7 +196,7 @@ def _fused_call(xr, xi, f2d, dblk, rampr, rampi, *, block, step, fl,
             pltpu.SemaphoreType.DMA((2, sup_a)),
         ],
         interpret=interpret,
-    )(xr_s, xi_s, f2d, dblk, rampr, rampi)
+    )(xr_s, xi_s, f2d, dblk_h, dblk_l, rampr, rampi)
 
 
 def polyphase_analysis_fused(
@@ -244,14 +245,14 @@ def polyphase_analysis_fused(
     else:
         xr, xi = jnp.asarray(xr)[:, :n_pad], jnp.asarray(xi)[:, :n_pad]
 
-    dblk = cfft._dft_block(block, inverse=False)
+    dblk_h, dblk_l = cfft.split_bf16(cfft._dft_block(block, inverse=False))
     rr4, ri4 = _analysis._phase_ramp(block, step, nu, 0)
     rampr = np.tile(rr4, (tile_k // nu, 1))
     rampi = np.tile(ri4, (tile_k // nu, 1))
 
     outr, outi = _fused_call(
         xr, xi,
-        jnp.asarray(f2d), jnp.asarray(dblk),
+        jnp.asarray(f2d), jnp.asarray(dblk_h), jnp.asarray(dblk_l),
         jnp.asarray(rampr), jnp.asarray(rampi),
         block=block, step=step, fl=fl, interpret=interpret,
     )

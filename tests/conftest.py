@@ -9,6 +9,11 @@ entrypoints use the real chip.)
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Differential tests assert exact-fp32-class agreement with fp64 oracles;
+# 'highest' makes cfft.kernel_dot a plain f32 dot on CPU (exact), where the
+# hardware default 'high' would run the split-bf16x3 path (~1e-5 relative)
+# even under interpret mode.
+os.environ.setdefault("SKA_PST_FFT_PRECISION", "highest")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
