@@ -170,8 +170,8 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((phases, block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),

@@ -51,7 +51,9 @@ def combine_channel_permutation(n_chan: int, combine: int) -> np.ndarray:
     return coarse * fcpc + fine
 
 
-@functools.partial(jax.jit, static_argnames=("geom_key", "spans_nyquist"))
+@functools.partial(
+    jax.jit, static_argnames=("geom_key", "spans_nyquist", "has_sf")
+)
 def _synthesis_core(
     xr: jnp.ndarray,         # (n_pol, n_chan, n_dat) float32
     xi: jnp.ndarray,
@@ -59,9 +61,12 @@ def _synthesis_core(
     s_taper: jnp.ndarray,    # (n_chan*FN_width,) float32
     dr: jnp.ndarray,         # (FN_width,) float32 deripple (ones if disabled)
     perm: jnp.ndarray,       # (n_chan,) int32 combine permutation
+    sf_r: jnp.ndarray = None,  # (n_chan*FN_width,) complex spectral filter
+    sf_i: jnp.ndarray = None,  #   (None when has_sf is False)
     *,
     geom_key,                # (n_chan, L, overlap, nu, de) — static
     spans_nyquist: bool,
+    has_sf: bool = False,
 ):
     n_chan_g, L, overlap, nu, de = geom_key
     os_factor = Rational(nu, de)
@@ -89,6 +94,15 @@ def _synthesis_core(
         return flat * s_taper[None, None, :]
 
     flatr, flati = assemble(fnr), assemble(fni)
+    if has_sf:
+        # complex spectral filter in the assembled baseband spectrum — the
+        # native analog of dspsr's convolution-during-inversion (`-IF ... D`):
+        # e.g. a coherent-dedispersion chirp, valid as overlap-save as long
+        # as its impulse response fits inside 2*output_overlap.
+        flatr, flati = (
+            flatr * sf_r - flati * sf_i,
+            flatr * sf_i + flati * sf_r,
+        )
     br, bi = cfft.ifft(flatr, flati)
     scale = np.float32(de / nu)
     lo, hi = geom.output_overlap, geom.output_fft_length - geom.output_overlap
@@ -110,6 +124,7 @@ def polyphase_synthesis(
     temporal_taper: Union[str, np.ndarray, None] = "no_window",
     spectral_taper: Union[str, np.ndarray, None] = "no_window",
     combine: int = 1,
+    spectral_filter=None,
 ):
     """Invert an oversampled PFB: fine channels → original baseband stream.
 
@@ -129,6 +144,14 @@ def polyphase_synthesis(
       temporal_taper / spectral_taper: window name from
         :mod:`ska_pst_dsp_tpu.utils.windows` or an explicit vector.
       combine: number of coarse channels the input fine channels span.
+      spectral_filter: optional COMPLEX per-bin multiplier, length
+        n_chan*FN_width in assembled-spectrum (standard FFT) bin order —
+        applied per overlap-save block before the backward FFT. This is the
+        native slot for dspsr's convolution-during-inversion (e.g. a
+        coherent-dedispersion chirp from
+        :func:`ska_pst_dsp_tpu.ops.dedispersion.chirp_filter`); the filter's
+        impulse response must fit within the 2*output_overlap discard.
+        Complex array or (re, im) float32 tuple.
 
     Returns (n_pol, 1, n_blocks*output_keep); complex numpy for complex
     input, (re, im) tuple for tuple input.
@@ -169,6 +192,22 @@ def polyphase_synthesis(
 
     perm = combine_channel_permutation(n_chan, combine).astype(np.int32)
 
+    if spectral_filter is not None:
+        if isinstance(spectral_filter, tuple):
+            sf_r, sf_i = spectral_filter
+        else:
+            sf = np.asarray(spectral_filter)
+            sf_r, sf_i = sf.real, sf.imag
+        sf_r = np.asarray(sf_r, dtype=np.float32)
+        sf_i = np.asarray(sf_i, dtype=np.float32)
+        if sf_r.shape != (n_chan * fnw,):
+            raise ValueError(
+                f"spectral_filter must have shape ({n_chan * fnw},), "
+                f"got {sf_r.shape}"
+            )
+    else:
+        sf_r = sf_i = None
+
     rr, ri = _synthesis_core(
         jnp.asarray(xr),
         jnp.asarray(xi),
@@ -176,7 +215,10 @@ def polyphase_synthesis(
         jnp.asarray(s_vec),
         jnp.asarray(dr),
         jnp.asarray(perm),
+        None if sf_r is None else jnp.asarray(sf_r),
+        None if sf_i is None else jnp.asarray(sf_i),
         geom_key=(n_chan, L, input_overlap, os_factor.nu, os_factor.de),
         spans_nyquist=spans_nyquist,
+        has_sf=spectral_filter is not None,
     )
     return (rr, ri) if pair_in else cfft.combine(rr, ri)
