@@ -45,22 +45,20 @@ def interpft(x: np.ndarray, n_out: int) -> np.ndarray:
     (or truncation), preserving the DC-anchored sample grid."""
     x = np.asarray(x, dtype=np.float64)
     n_in = x.size
+    if n_out < n_in:
+        # matlab decimates by interpolating to incr*n_out > n_in points and
+        # taking every incr-th sample (interpft.m: incr = floor(m/ny)+1)
+        incr = n_in // n_out + 1
+        return interpft(x, incr * n_out)[::incr]
     X = np.fft.fft(x)
-    if n_out >= n_in:
-        half = (n_in + 1) // 2
-        Y = np.zeros(n_out, dtype=complex)
-        Y[:half] = X[:half]
-        Y[n_out - (n_in - half):] = X[half:]
-        if n_in % 2 == 0:
-            # split the Nyquist bin symmetrically
-            Y[n_in // 2] = X[n_in // 2] / 2.0
-            Y[n_out - n_in // 2] = X[n_in // 2] / 2.0
-    else:
-        # decimate: matlab interpft decimates by interpolating to a multiple
-        # then subsampling; for our uses n_out divides n_in cleanly only via
-        # this spectral truncation path
-        half = (n_out + 1) // 2
-        Y = np.concatenate([X[:half], X[n_in - (n_out - half):]])
+    half = (n_in + 1) // 2
+    Y = np.zeros(n_out, dtype=complex)
+    Y[:half] = X[:half]
+    Y[n_out - (n_in - half):] = X[half:]
+    if n_in % 2 == 0 and n_out > n_in:
+        # split the Nyquist bin symmetrically
+        Y[n_in // 2] = X[n_in // 2] / 2.0
+        Y[n_out - n_in // 2] = X[n_in // 2] / 2.0
     y = np.fft.ifft(Y) * (n_out / n_in)
     return np.real(y)
 
@@ -84,6 +82,33 @@ def freqz_mag(h: np.ndarray, n_points: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Designers
 # ---------------------------------------------------------------------------
+
+def _firls(numtaps, bands, desired, weight):
+    """Least-squares linear-phase FIR design for any length. SciPy's firls
+    only handles odd numtaps (type I); Matlab's firls also designs even
+    lengths (type II, h[n] = h[N-1-n], amplitude
+    A(w) = 2*sum_k b_k cos(w(k+1/2))) — solved here on a dense grid."""
+    if numtaps % 2 == 1:
+        return scipy.signal.firls(numtaps, bands, desired, weight=weight)
+    half = numtaps // 2
+    n_grid = max(16 * numtaps, 2048)
+    w_list, d_list, wt_list = [], [], []
+    for i in range(0, len(bands), 2):
+        f0, f1 = bands[i], bands[i + 1]
+        npts = max(int(round((f1 - f0) * n_grid)), 8)
+        f = np.linspace(f0, f1, npts)
+        d = np.linspace(desired[i], desired[i + 1], npts)
+        w_list.append(f)
+        d_list.append(d)
+        wt_list.append(np.full(npts, np.sqrt(weight[i // 2])))
+    f = np.concatenate(w_list)
+    d = np.concatenate(d_list)
+    wt = np.concatenate(wt_list)
+    # amplitude basis: 2*cos(pi*f*(k+1/2)), k = 0..half-1
+    A = 2.0 * np.cos(np.pi * np.outer(f, np.arange(half) + 0.5))
+    b, *_ = np.linalg.lstsq(A * wt[:, None], d * wt, rcond=None)
+    return np.concatenate([b[::-1], b])
+
 
 def design_pfb_fir_filter(
     n_chan: int,
@@ -129,7 +154,7 @@ def design_pfb_fir_filter_two_stage(
 
     f_pass = 1.0 / n_chan
     f_stop = (2.0 * os - 1.0) / n_chan
-    h0 = scipy.signal.firls(
+    h0 = _firls(
         n_taps_stage1 + 1,
         [0.0, f_pass * zero_stuff_factor, 0.998 * f_stop * zero_stuff_factor, 1.0],
         [1.0, 1.0, 0.0, 0.0],
@@ -196,29 +221,30 @@ def _herrmann_maxflat(order: int, w_cut: float) -> np.ndarray:
     if order % 2:
         raise ValueError("maxflat 'sym' requires even order")
     total = order // 2 + 1  # K + M; support = 2(K+M-1)+1 = order+1 taps
-    n_fft = 4096
-    w = np.linspace(0, np.pi, n_fft // 2, endpoint=False)
+    n_fft = 8192
+    w = 2.0 * np.pi * np.arange(n_fft) / n_fft
+    s2 = np.sin(w / 2.0) ** 2
     best = None
     for K in range(1, total):
         M = total - K
-        s2 = np.sin(w / 2.0) ** 2
         poly = np.zeros_like(w)
         for m in range(M):
             poly += math.comb(K - 1 + m, m) * s2**m
         H = np.cos(w / 2.0) ** (2 * K) * poly
-        # -6 dB cutoff of the amplitude response
-        idx = np.argmin(np.abs(H - 0.5))
+        # -6 dB (half-magnitude) cutoff of the amplitude response, matching
+        # matlab maxflat's Wn semantics
+        half_band = H[: n_fft // 2]
+        idx = np.argmin(np.abs(half_band - 0.5))
         err = abs(w[idx] / np.pi - w_cut)
         if best is None or err < best[0]:
             best = (err, H)
     H = best[1]
-    # zero-phase amplitude → linear-phase taps by inverse real-spectrum
-    full = np.concatenate([H, H[::-1]])  # crude even extension over [0, 2pi)
-    imp = np.real(np.fft.ifft(full))
-    imp = np.fft.fftshift(imp)
-    center = imp.size // 2
+    # H is a trig polynomial of degree order/2 sampled on the full circle
+    # (automatically symmetric, H(2pi-w)=H(w)); its IFFT gives the exact
+    # zero-phase taps: h[0] at index 0, negative lags wrapped at the end.
+    h = np.real(np.fft.ifft(H))
     half = order // 2
-    taps = imp[center - half: center + half + 1]
+    taps = np.concatenate([h[-half:], h[: half + 1]])
     return taps / taps.sum()
 
 
@@ -226,7 +252,16 @@ def generate_maxflat(nbuff: int = 256, n_tap: int = 12) -> np.ndarray:
     """LowCBF firmware prototype filter (generate_MaxFlt.m:40-70): start from
     a 2*n_tap-order maximally flat FIR, run 10 rounds of power-complementarity
     flattening (total power of a tone across the 2-channel split held
-    constant), then Fourier-interpolate to nbuff*n_tap taps."""
+    constant), then Fourier-interpolate to nbuff*n_tap taps.
+
+    Fidelity note: the taps this produces correlate ~0.9 with the vendored
+    firmware coefficients (config/PST_filtertaps.txt). The real firmware file
+    was generated by a newer generate_MaxFlt revision whose core filter has
+    length 96 (spectral support ±48 in the 3072-tap file — the published
+    generate_MaxFlt.m can only produce ±12), so it is not reproducible from
+    the reference's own source. Bit-exact firmware modelling therefore uses
+    the vendored tap file directly (the ``lowpsi`` config); this designer is
+    the documented stand-in for regenerating approximate coefficients."""
     n_tap2 = 2 * n_tap
     imp = _herrmann_maxflat(n_tap2, 0.5 * n_tap2 / (n_tap2 + 1))
     imp = interpft(imp, n_tap2) * (n_tap2 + 1) / n_tap2

