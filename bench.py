@@ -1,78 +1,199 @@
-"""Benchmark: flagship SKA-Low round trip (analysis + Golden inversion) on
-one TPU chip. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark: SKA-Low and SKA-Mid round trips (analysis + Golden inversion)
+on one TPU chip, with roofline accounting. Prints ONE JSON line:
 
-The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-computed against the NumPy oracle executing the same math on this host's
-CPU — the stand-in for the reference's single-threaded implementation.
+  {"metric": "low_roundtrip_throughput", "value": N, "unit": "Msamples/s/chip",
+   "vs_baseline": N, "roofline": {...}, "mid": {...}}
+
+vs_baseline is computed against the NumPy oracle executing the same math on
+this host's CPU — the stand-in for the reference's single-threaded Matlab.
+
+Roofline (the BASELINE north-star accounting):
+  * flops_per_sample_fft_optimal — FFT+FIR flops per raw sample using the
+    5·N·log2(N) FFT model (the reference algorithm's intrinsic work);
+  * flops_per_sample_matmul — what the TPU formulation actually executes:
+    matmul DFTs (split-bf16x3) cost ~130x the FFT-optimal count, trading
+    flops for MXU-shaped compute (this backend has no FFT op; the MXU is
+    where v5e's throughput lives);
+  * sol_msps — speed-of-light samples/s: min over the HBM floor
+    (essential bytes/sample at 819 GB/s: read raw once, write+read the fine
+    channels, write output) and the MXU floor for the matmul formulation
+    (197 bf16 TFLOP/s); the FFT-optimal compute floor is ~30x above the
+    memory floor, so SoL here is memory-bound;
+  * pct_sol / mxu_util — achieved fraction of the memory-bound SoL, and the
+    achieved fraction of MXU peak for the executed matmul flops.
 
 Measurement: the forward step is chained ``reps`` times inside one jitted
 ``lax.scan`` whose carry creates a data dependency between iterations (so
 XLA cannot hoist or elide any of them), and only ONE scalar leaves the
-device. This times pure device execution — full-array device→host transfers
-over the tunnelled TPU carry seconds of latency and would otherwise swamp
-the measurement by 100x.
+device — full-array transfers over the tunnelled TPU would swamp the
+measurement by 100x.
 
-The compute path is split-complex with matmul DFTs (ska_pst_dsp_tpu.ops.cfft)
-— the TPU backend here has no complex dtype / FFT op. On TPU the analysis
-stage runs the fused Pallas kernel (ops/pallas/analysis_fused).
+On TPU both stages run fused Pallas kernels (ops/pallas/analysis_fused,
+ops/pallas/synthesis_fused — frame/taper/DFT/keep/deripple frontend plus
+the four-step IFFT epilogue with roll/taper/scale folded into constants).
 """
 
 import json
+import math
 import time
 
 import numpy as np
 
+V5E_BF16_TFLOPS = 197.0  # v5e MXU peak
+V5E_HBM_GBS = 819.0      # v5e HBM bandwidth
 
-def _build(n_dat):
+CONFIGS = {
+    "low": dict(n_chan=256, taps_per_chan=12, L=256, ov=48, nu=4, de=3),
+    "mid": dict(n_chan=4096, taps=100353, L=512, ov=128, nu=8, de=7),
+}
+
+
+def _fft_flops(n):
+    return 5.0 * n * math.log2(n)
+
+
+def _roofline(name, msps):
+    """Roofline numbers for a named config at an achieved Msamples/s."""
+    from ska_pst_dsp_tpu.utils import geometry
+    from ska_pst_dsp_tpu.utils.rational import Rational
+
+    c = CONFIGS[name]
+    os_f = Rational(c["nu"], c["de"])
+    n_chan, L, ov = c["n_chan"], c["L"], c["ov"]
+    taps = c.get("taps", n_chan * c.get("taps_per_chan", 12) + 1)
+    step = geometry.analysis_step(n_chan, os_f)
+    fl = geometry.padded_filter_length(taps, n_chan)
+    geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+
+    # FFT-optimal flops per raw sample (fold: 4 flops/tap complex*real MAC)
+    ana = (4.0 * fl + _fft_flops(n_chan)) / step
+    per_block = (
+        n_chan * _fft_flops(L)
+        + 6.0 * n_chan * geom.fn_width
+        + _fft_flops(geom.output_fft_length)
+    )
+    f_opt = ana + per_block / geom.output_keep
+
+    # matmul-DFT formulation flops per raw sample (nominal GEMM flops x3
+    # bf16 passes at HIGH precision); base sizes from cfft._split_factor
+    from ska_pst_dsp_tpu.ops import cfft
+
+    def matmul_fft_flops(n):
+        if n <= cfft.BASE:
+            return 2.0 * (2 * n) ** 2 / 2  # (rows, 2n)@(2n, 2n) per row pair
+        n1 = cfft._split_factor(n)
+        n2 = n // n1
+        return (
+            n1 * matmul_fft_flops(n2) + n2 * matmul_fft_flops(n1) + 8.0 * n
+        )
+
+    f_mm = 3.0 * (
+        (4.0 * fl / 3.0 + matmul_fft_flops(n_chan)) / step  # fold is VPU f32
+        + (n_chan * matmul_fft_flops(L) + matmul_fft_flops(geom.output_fft_length))
+        / geom.output_keep
+    )
+
+    # memory floor: raw in + fine out + fine in + raw out, split-complex f32
+    os = c["nu"] / c["de"]
+    bytes_per_sample = 8 + 2 * 8 * os + 8
+    sol_mem = V5E_HBM_GBS * 1e9 / bytes_per_sample          # samples/s
+    sol_mxu = V5E_BF16_TFLOPS * 1e12 / f_mm
+    sol = min(sol_mem, sol_mxu)
+    achieved = msps * 1e6
+    return {
+        "flops_per_sample_fft_optimal": round(f_opt, 1),
+        "flops_per_sample_matmul": round(f_mm, 1),
+        "sol_msps": round(sol / 1e6, 1),
+        "pct_sol": round(100.0 * achieved / sol, 2),
+        "tflops_effective": round(achieved * f_opt / 1e12, 3),
+        "tflops_executed": round(achieved * f_mm / 1e12, 2),
+        "mxu_util_pct": round(100.0 * achieved * f_mm / (V5E_BF16_TFLOPS * 1e12), 1),
+    }
+
+
+def _chain_timer(forward, args, reps):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(*a):
+        def body(c, _):
+            o = forward(*(x + c * 0 if i == 0 else x for i, x in enumerate(a)))
+            s = sum(map(jnp.sum, o))
+            return c + s * 1e-30, s
+
+        c, ss = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return ss.sum()
+
+    ch = jax.jit(chained)
+    float(ch(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(ch(*args))  # one scalar crosses the tunnel
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_low(n_dat=2**21, reps=50):
+    import jax
     from ska_pst_dsp_tpu.design import fir
+    from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
     from ska_pst_dsp_tpu.utils.rational import Rational
 
     os_f = Rational(4, 3)
     n_chan, L, ov = 256, 256, 48
     filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
     rng = np.random.default_rng(0)
-    xr = rng.standard_normal((2, n_dat)).astype(np.float32)
-    xi = rng.standard_normal((2, n_dat)).astype(np.float32)
-    return os_f, filt, n_chan, L, ov, xr, xi
+    xr = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+    xi = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
 
-
-def bench_tpu(n_dat=2**21, reps=50):
-    import jax
-    import jax.numpy as jnp
-    from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
-    from ska_pst_dsp_tpu.ops.pallas.analysis_fused import (
-        polyphase_analysis_fused,
-    )
-
-    os_f, filt, n_chan, L, ov, xr, xi = _build(n_dat)
     on_tpu = jax.default_backend() not in ("cpu",)
-    analysis = polyphase_analysis_fused if on_tpu else polyphase_analysis
+    if on_tpu:
+        from ska_pst_dsp_tpu.ops.pallas.analysis_fused import (
+            polyphase_analysis_fused as analysis,
+        )
+        from ska_pst_dsp_tpu.ops.pallas.synthesis_fused import (
+            polyphase_synthesis_fused as synthesis,
+        )
+    else:
+        analysis, synthesis = polyphase_analysis, polyphase_synthesis
 
     def forward(a, b):
         cr, ci = analysis((a, b), filt, n_chan, os_f)
+        return synthesis(
+            (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
+            temporal_taper="tukey",
+        )
+
+    dt = _chain_timer(forward, (xr, xi), reps)
+    return (xr.shape[0] * n_dat) / dt
+
+
+def bench_mid(reps=10):
+    """SKA-Mid production geometry: 4096 ch, 100353-tap padded analysis,
+    L=512/ov=128 inversion with the 1.8M-point backward FFT."""
+    import jax
+    from ska_pst_dsp_tpu.design import fir
+    from ska_pst_dsp_tpu.ops import (
+        polyphase_analysis_padded, polyphase_synthesis,
+    )
+    from ska_pst_dsp_tpu.utils import geometry
+    from ska_pst_dsp_tpu.utils.rational import Rational
+
+    os_f = Rational(8, 7)
+    n_chan, L, ov = 4096, 512, 128
+    filt = fir.design_pfb_fir_filter_two_stage(n_chan, os_f, 28)
+    geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+    n_dat = (2 * ov + 2 * geom.input_keep) * geometry.analysis_step(n_chan, os_f)
+    rng = np.random.default_rng(0)
+    xr = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+    xi = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+
+    def forward(a, b):
+        cr, ci = polyphase_analysis_padded((a, b), filt, n_chan, os_f)
         return polyphase_synthesis(
             (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
             temporal_taper="tukey",
         )
 
-    def chained(a, b):
-        def body(c, _):
-            # c*0 keeps a data dependency on the carry; s*1e-30 folds each
-            # iteration's result back into it — serializes all reps.
-            o = forward(a + c * 0, b)
-            s = sum(map(jnp.sum, o))
-            return c + s * 1e-30, s
-        c, ss = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-        return ss.sum()
-
-    ch = jax.jit(chained)
-    ar = jax.device_put(xr)
-    ai = jax.device_put(xi)
-    float(ch(ar, ai))  # compile + warm
-    t0 = time.perf_counter()
-    float(ch(ar, ai))  # one scalar crosses the tunnel
-    dt = (time.perf_counter() - t0) / reps
+    dt = _chain_timer(forward, (xr, xi), reps)
     return (xr.shape[0] * n_dat) / dt
 
 
@@ -80,10 +201,18 @@ def bench_oracle_cpu(n_dat=2**19):
     """Single-threaded NumPy oracle running the same math — the proxy for
     the reference implementation's per-core throughput."""
     from ska_pst_dsp_tpu import oracle
+    from ska_pst_dsp_tpu.design import fir
     from ska_pst_dsp_tpu.utils import windows
+    from ska_pst_dsp_tpu.utils.rational import Rational
 
-    os_f, filt, n_chan, L, ov, xr, xi = _build(n_dat)
-    x = (xr + 1j * xi)[:, None, :]
+    os_f = Rational(4, 3)
+    n_chan, L, ov = 256, 256, 48
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    rng = np.random.default_rng(0)
+    x = (
+        rng.standard_normal((2, 1, n_dat))
+        + 1j * rng.standard_normal((2, 1, n_dat))
+    ).astype(np.complex64)
     t0 = time.perf_counter()
     chan = oracle.polyphase_analysis(x, filt, n_chan, os_f)
     oracle.polyphase_synthesis(
@@ -95,21 +224,31 @@ def bench_oracle_cpu(n_dat=2**19):
 
 
 def main():
-    value = bench_tpu()
+    low = bench_low()
+    low_msps = low / 1e6
+    try:
+        mid_msps = bench_mid() / 1e6
+    except Exception:
+        mid_msps = None
     try:
         baseline = bench_oracle_cpu()
     except Exception:
         baseline = None
-    print(
-        json.dumps(
-            {
-                "metric": "low_roundtrip_throughput",
-                "value": round(value / 1e6, 3),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(value / baseline, 2) if baseline else None,
-            }
-        )
-    )
+
+    out = {
+        "metric": "low_roundtrip_throughput",
+        "value": round(low_msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(low / baseline, 2) if baseline else None,
+        "roofline": _roofline("low", low_msps),
+    }
+    if mid_msps is not None:
+        out["mid"] = {
+            "value": round(mid_msps, 3),
+            "unit": "Msamples/s/chip",
+            "roofline": _roofline("mid", mid_msps),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

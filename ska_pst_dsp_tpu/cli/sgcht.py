@@ -64,6 +64,8 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmsInput", type=float, default=0.0)
     p.add_argument("--rndOutput", action="store_true")
     p.add_argument("--rmsOutput", type=float, default=0.0)
+    p.add_argument("--offset", type=int, default=20000,
+                   help="temporal_impulse sample offset")
     p.add_argument("--blocks", type=int, default=0,
                    help="override number of blocks")
     p.add_argument("--blocksz", type=int, default=0,
@@ -149,6 +151,7 @@ def run(argv=None) -> int:
     filterbank = inverse = None
     filt_coeff = None
     os1 = os2 = Rational(1, 1)
+    level = 0
 
     fb_kwargs = dict(
         rnd_input=a.rndInput, rms_input=a.rmsInput,
@@ -258,17 +261,52 @@ def run(argv=None) -> int:
         calfreq = float(header.get("TONEFREQ", 250000.0))
         gen = signals.PureTone(frequency=(calfreq * tsamp) / 1e6)
         if a.test:
-            tester = testers.TestPureTone(frequency=gen.frequency)
+            stages = []
+            if level >= 1:
+                stages.append((n_chan, os1))
+            if level >= 2:
+                stages.append((config2.channels, os2))
+            tester = testers.TestPureTone(
+                frequency=gen.frequency, stages=stages,
+                critical=a.critical and level == 2,
+            )
     elif signal == "temporal_impulse":
-        gen = signals.Impulse(offset=20000)
+        gen = signals.Impulse(offset=a.offset)
         if a.test:
             output_overlap = (
                 config.os_factor.normalize(config.input_overlap) * config.channels
             )
             fir_offset = config.fir_offset_direction * (filt_coeff.size // 2)
             filter_offset = output_overlap - 1 + config.kludge_offset
+            col = support = None
+            if level >= 1:
+                # expected peak column of the channelized stream (calibrated
+                # in tests/test_streaming.py): the plain kernel's block k
+                # spans [k*step, k*step+fl) so the peak sits where the filter
+                # center crosses the impulse; the padded kernel has its group
+                # delay removed already.
+                import math as _math
+
+                from ..utils import geometry as _geometry
+
+                step1 = _geometry.analysis_step(n_chan, os1)
+                fl1 = _geometry.padded_filter_length(filt_coeff.size, n_chan)
+                if config.analysis_function == "polyphase_analysis_padded":
+                    t1 = gen.offset / step1
+                else:
+                    t1 = (gen.offset - fl1 / 2) / step1
+                support = fl1 // step1 + 2
+                if level == 2:
+                    filt2 = (config2 or config).load_fir_filter_coeff()
+                    nch2 = (config2 or config).channels
+                    step2 = _geometry.analysis_step(nch2, os2)
+                    fl2 = _geometry.padded_filter_length(filt2.size, nch2)
+                    support = support // step2 + fl2 // step2 + 2
+                    t1 = (t1 - fl2 / 2) / step2
+                col = int(_math.floor(t1 + 0.5))
             tester = testers.TestImpulse(
-                offset=gen.offset + fir_offset - filter_offset
+                offset=gen.offset + fir_offset - filter_offset,
+                chan_peak_col=col, chan_support=support or 0,
             )
     else:
         raise ValueError(f"unrecognized signal {signal}")

@@ -50,9 +50,21 @@ def run(argv=None) -> int:
     for cfg in a.cfgs:
         for signal in a.signals:
             for extra in sweep:
+                # two-stage cases need ~n_chan^2 more data before the
+                # cascade emits anything (the reference streams 64-Msample
+                # blocks, sgcht.m:481-495); scale the block size so the
+                # in-stream testers actually see output, and place the
+                # impulse beyond the stage-2 filter warm-up
+                two_stage = "--two_stage" in extra
+                blocksz = a.blocksz * (8 if two_stage else 1)
+                offset = (
+                    blocksz if two_stage and signal == "temporal_impulse"
+                    else 20000
+                )
                 args = [
                     "--signal", signal, "--cfg", cfg, "--test",
-                    "--blocks", str(a.blocks), "--blocksz", str(a.blocksz),
+                    "--blocks", str(a.blocks), "--blocksz", str(blocksz),
+                    "--offset", str(offset),
                 ] + extra
                 label = " ".join(args)
                 try:

@@ -22,6 +22,20 @@ MAX_NFFT_TONE = 8 * 1024 * 1024
 MAX_NFFT_COMB = 8 * 1024
 
 
+def critical_chomp_index(c: int, nch_orig: int, os: Rational) -> Optional[int]:
+    """Output index of original stage-2 channel ``c`` after the critical
+    chomp (TwoStageFilterBank.m:102-105: keep tmp[j] for j < nch2/2-1 and
+    tmp[j+offset] for j >= nch2/2-1). None if ``c`` is chomped away."""
+    nch2 = os.normalize(nch_orig)
+    offset = nch_orig - nch2
+    half = nch2 // 2
+    if c < half - 1:
+        return c
+    if c >= half - 1 + offset:
+        return c - offset
+    return None
+
+
 @dataclasses.dataclass
 class TesterState:
     current: int = 0
@@ -33,47 +47,110 @@ class TestPureTone:
     __test__ = False  # not a pytest class
 
     """After inversion, the maximum spurious response to a pure tone must be
-    <= -60 dB (power) relative to the tone (TestPureTone.m:20, dB_max=-60)."""
+    <= -60 dB (power) relative to the tone (TestPureTone.m:20, dB_max=-60).
 
-    def __init__(self, frequency: float, db_max: float = -60.0):
+    Departure from the reference: TestPureTone.m:40-96 applies the raw-stream
+    bin index to *every* channel of channelized data (and blocks on an
+    interactive ``pause``), so its channelized path is bit-rotted. Here,
+    multi-channel input is tested in the *dominant* channel only (peak at the
+    translated baseband bin when the expected channel index is supplied via
+    ``n_chan``/``os_factor``, in-channel spurious <= db_max); the FFT length
+    is truncated so the expected tone is an exact bin — otherwise
+    rectangular-window leakage (-13 dB) would mask the measurement."""
+
+    def __init__(self, frequency: float, db_max: float = -60.0,
+                 stages: Sequence = (), critical: bool = False):
         self.frequency = frequency
         self.db_max = db_max
+        #: channelization stages of the *tested* stream, outermost first:
+        #: sequence of (n_chan, os_factor). Empty = raw/inverted stream.
+        self.stages = [(n, Rational.coerce(os)) for n, os in stages]
+        self.critical = critical  # last stage critically chomped
 
     def init_state(self) -> TesterState:
         return TesterState()
 
+    def _expected(self, nchan_data: int):
+        """(expected channel index or None, baseband tone frequency)."""
+        from fractions import Fraction
+
+        f = Fraction(self.frequency).limit_denominator(1 << 24)
+        if nchan_data == 1 or not self.stages:
+            return None, f
+        chans = []
+        for n, os in self.stages:
+            fb = f * n
+            c = int(round(fb)) % n
+            chans.append(c)
+            f = (fb - round(fb)) * Fraction(os.de, os.nu)
+        # flatten the stage channel indices into the output channel axis
+        idx: Optional[int] = 0
+        total = 1
+        for i, ((n, os), c) in enumerate(zip(self.stages, chans)):
+            nk = n
+            if self.critical and i == len(self.stages) - 1:
+                c = critical_chomp_index(c, n, os)
+                nk = os.normalize(n)
+            if c is None:
+                idx = None
+                break
+            idx = idx * nk + c
+            total *= nk
+        if total != nchan_data:
+            idx = None  # layout differs (e.g. single-channel subset)
+        return idx, f
+
     def test(self, state: TesterState, x) -> tuple:
         x = np.asarray(x)
-        n_pol, n_chan = x.shape[0], x.shape[1]
+        n_pol, nchan_data = x.shape[0], x.shape[1]
+        exp_chan, fb = self._expected(nchan_data)
         for ipol in range(n_pol):
-            for ichan in range(n_chan):
-                v = x[ipol, ichan]
-                nfft = min(v.size, MAX_NFFT_TONE)
-                v = v[:nfft]
-                exp_index = int(round(self.frequency * nfft))
-                spec_db = 20 * np.log10(np.abs(np.fft.fft(v) / nfft) + 1e-30)
-                a_index = int(spec_db.argmax())
-                spec_db = spec_db - spec_db[a_index]
-                if a_index != exp_index:
-                    if a_index == (nfft // 2 + exp_index) % nfft:
-                        pass  # band swap (TestPureTone.m:63-66)
-                    else:
-                        state = dataclasses.replace(
-                            state,
-                            failures=state.failures + 1,
-                            detail=f"peak at {a_index}, expected {exp_index}",
-                        )
-                        return state, -1
-                mask = np.ones(nfft, dtype=bool)
-                mask[a_index] = False
-                worst = spec_db[mask].max()
-                if worst > self.db_max:
+            if nchan_data > 1:
+                # dominant channel carries the tone
+                ichan = int((np.abs(x[ipol]) ** 2).sum(axis=-1).argmax())
+                if exp_chan is not None and ichan != exp_chan:
                     state = dataclasses.replace(
                         state,
                         failures=state.failures + 1,
-                        detail=f"spurious {worst:.1f} dB > {self.db_max}",
+                        detail=f"tone in chan {ichan}, expected {exp_chan}",
                     )
                     return state, -1
+            else:
+                ichan = 0
+            v = x[ipol, ichan]
+            nfft = min(v.size, MAX_NFFT_TONE)
+            # truncate so the tone is an exact FFT bin
+            q = fb.denominator
+            if q <= nfft:
+                nfft = (nfft // q) * q
+            v = v[:nfft]
+            exp_index = int(round(float(fb % 1) * nfft)) % nfft
+            spec_db = 20 * np.log10(np.abs(np.fft.fft(v) / nfft) + 1e-30)
+            a_index = int(spec_db.argmax())
+            spec_db = spec_db - spec_db[a_index]
+            if a_index != exp_index:
+                if a_index == (nfft // 2 + exp_index) % nfft:
+                    pass  # band swap (TestPureTone.m:63-66)
+                else:
+                    state = dataclasses.replace(
+                        state,
+                        failures=state.failures + 1,
+                        detail=(
+                            f"peak at {a_index}, expected {exp_index} "
+                            f"(chan {ichan}, nfft {nfft})"
+                        ),
+                    )
+                    return state, -1
+            mask = np.ones(nfft, dtype=bool)
+            mask[a_index] = False
+            worst = spec_db[mask].max()
+            if worst > self.db_max:
+                state = dataclasses.replace(
+                    state,
+                    failures=state.failures + 1,
+                    detail=f"spurious {worst:.1f} dB > {self.db_max}",
+                )
+                return state, -1
         return dataclasses.replace(state, current=state.current + x.shape[-1]), 0
 
 
@@ -81,18 +158,70 @@ class TestImpulse:
     __test__ = False  # not a pytest class
 
     """After inversion, temporal leakage of an impulse must be <= -60 dB
-    outside +-1 sample of the expected peak (TestImpulse.m:26, dB_max=-60)."""
+    outside +-1 sample of the expected peak (TestImpulse.m:26, dB_max=-60).
 
-    def __init__(self, offset: int, db_max: float = -60.0):
-        self.offset = offset
+    Departure from the reference: on *channelized* data the +-1-sample
+    criterion cannot hold (the impulse is smeared over the prototype-filter
+    support by construction), and TestImpulse.m applies it anyway — another
+    bit-rotted path. Here a channelized stream passes when the peak power
+    column lands where the filter geometry says (``chan_peak_col``) and all
+    power outside the filter-support window (+-``chan_support`` columns) is
+    <= db_max; outside the support the polyphase fold contributes exactly
+    nothing, so real leakage there means a framing/alignment bug."""
+
+    def __init__(self, offset: int, db_max: float = -60.0,
+                 chan_peak_col: Optional[int] = None,
+                 chan_support: int = 0):
+        self.offset = offset          # expected peak sample of the raw stream
         self.db_max = db_max
+        self.chan_peak_col = chan_peak_col
+        self.chan_support = chan_support
 
     def init_state(self) -> TesterState:
         return TesterState()
 
+    def _test_channelized(self, state, x) -> tuple:
+        n_pol, n_chan, nsample = x.shape
+        col = self.chan_peak_col - state.current
+        new_state = dataclasses.replace(state, current=state.current + nsample)
+        if not (0 <= col < nsample):
+            return new_state, 0
+        w = self.chan_support
+        for ipol in range(n_pol):
+            pcol = (np.abs(x[ipol]) ** 2).sum(axis=0)
+            k = int(pcol.argmax())
+            if abs(k - col) > 1:
+                new_state = dataclasses.replace(
+                    new_state,
+                    failures=new_state.failures + 1,
+                    detail=f"impulse peak col {k}, expected {col}",
+                )
+                return new_state, -1
+            mask = np.ones(nsample, dtype=bool)
+            mask[max(0, k - w): k + w + 1] = False
+            if mask.any():
+                worst = 10 * np.log10(pcol[mask].max() / pcol[k] + 1e-30)
+                if worst > self.db_max:
+                    new_state = dataclasses.replace(
+                        new_state,
+                        failures=new_state.failures + 1,
+                        detail=(
+                            f"channelized leakage {worst:.1f} dB outside "
+                            f"+-{w} of col {k}"
+                        ),
+                    )
+                    return new_state, -1
+        return new_state, 0
+
     def test(self, state: TesterState, x) -> tuple:
         x = np.asarray(x)
         n_pol, n_chan, nsample = x.shape
+        if n_chan > 1:
+            if self.chan_peak_col is None:
+                raise ValueError(
+                    "TestImpulse on channelized data requires chan_peak_col"
+                )
+            return self._test_channelized(state, x)
         off = self.offset - state.current
         new_state = dataclasses.replace(state, current=state.current + nsample)
         if not (0 <= off < nsample):

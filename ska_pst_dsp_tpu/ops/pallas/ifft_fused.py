@@ -1,0 +1,226 @@
+"""Fused Pallas four-step backward FFT epilogue for the Golden inversion.
+
+The composed epilogue (ops/synthesis.py + ops/cfft.py) spends several HBM
+round trips per inversion block: the Nyquist roll, the spectral taper, the
+four-step IFFT's inner transform / twiddle / outer transform / transpose,
+the output slice and the de/nu scale each materialize the ~N-point spectrum.
+This kernel runs the whole epilogue as ONE pallas_call over (pol, block):
+
+    X (N = n2*n1 bins) → IFFT_N → keep [output_overlap, N-output_overlap)
+
+with every elementwise factor folded into the kernel's constant matrices:
+
+  * the DC-centering roll by s = FN_width/2 (polyphase_synthesis.m:265-278)
+    becomes, by the modulation theorem, out[t] *= exp(-2πi·s·t/N) — and
+    t = k2 + n2*k1 makes that SEPARABLE: the k1 part scales the outer DFT
+    matrix's columns, the k2 part scales the twiddle constant;
+  * 1/N and the de/nu inversion gain also ride the twiddle;
+  * only the kept k1 ∈ [lo/n2, (N-lo)/n2) outer columns are computed at all
+    (the overlap-save discard never exists);
+  * the spectral taper / optional spectral filter (dedispersion chirp) fold
+    into one complex elementwise constant applied before the inner GEMM.
+
+Both GEMMs contract along sublanes (dot_general ((0,),(0,))) against
+split-bf16x3 constants, and the second GEMM puts the kept-k1 axis first by
+operand order — no transposes anywhere; the (n1_keep, n2) output tiles
+flatten to the kept time series as a free reshape. Applicable when
+N = n2*n1 with n1 <= 512, n2 <= 512, n2 % 8 == 0, n1 % 128 == 0 and
+output_overlap % n2 == 0 (true for the low config: 49152 = 96*512,
+overlap 9216 = 96*96); callers fall back to the composed path otherwise
+(e.g. mid's 1.8M-point IFFT, whose blocks exceed VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cfft
+from .synthesis_fused import _kernel_dot_t
+
+
+def plan_ifft(n: int, lo: int) -> Optional[Tuple[int, int]]:
+    """(n2, n1) factorization usable by the fused epilogue, or None."""
+    try:
+        n1 = cfft._split_factor(n)
+    except ValueError:
+        return None
+    n2 = n // n1
+    if n1 > 512 or n2 > 512 or n2 % 8 or n1 % 128:
+        return None
+    if lo % n2 or (n - 2 * lo) <= 0:
+        return None
+    return n2, n1
+
+
+def _dot_t_const_first(bh, bl, a):
+    """Split-bf16x3 GEMM with the CONSTANT as the left operand, contracting
+    dim 0 of both: (2n, K1)ᵀ-style · (2n, K2) → (K1, K2). Mirrors
+    synthesis_fused._kernel_dot_t with the roles swapped so the kept output
+    axis lands first without any transpose."""
+    dn = (((0,), (0,)), ((), ()))
+    if cfft._PRECISION is jax.lax.Precision.HIGHEST:
+        b = bh.astype(jnp.float32) + bl.astype(jnp.float32)
+        return jax.lax.dot_general(
+            b, a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if cfft._PRECISION is None:
+        return jax.lax.dot_general(
+            bh, a.astype(jnp.bfloat16), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        bh, ah, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+    acc = acc + jax.lax.dot_general(
+        bh, al, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+    acc = acc + jax.lax.dot_general(
+        bl, ah, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
+    """Host-side constants with the roll modulation and gain folded in:
+    (inner_r, inner_i) split-bf16 (2*n2, n2); (tw_r, tw_i) float32 (n1, n2);
+    (outer_r, outer_i) split-bf16 (2*n1, n1_keep)."""
+    k1_lo = lo // n2
+    n1_keep = (n - 2 * lo) // n2
+
+    # inner inverse DFT over n2: D2[j, k] = exp(+2πi jk/n2)
+    j, k = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
+    ang = 2.0 * np.pi * ((j * k) % n2) / n2
+    d2r, d2i = np.cos(ang), np.sin(ang)
+    inner_r = np.concatenate([d2r, -d2i], axis=0)  # [xr; xi] → Re
+    inner_i = np.concatenate([d2i, d2r], axis=0)   # [xr; xi] → Im
+
+    # twiddle W[m1, k2] = exp(+2πi m1 k2 / n) carrying gain/n and the k2
+    # part of the roll modulation v[k2] = exp(-2πi roll k2 / n)
+    m1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    ang = 2.0 * np.pi * (m1.astype(np.float64) * k2) / n
+    vang = -2.0 * np.pi * roll * np.arange(n2, dtype=np.float64) / n
+    w = np.exp(1j * ang) * (gain / n) * np.exp(1j * vang)[None, :]
+    tw_r = np.real(w).astype(np.float32)
+    tw_i = np.imag(w).astype(np.float32)
+
+    # outer inverse DFT over n1, kept columns only, carrying the k1 part of
+    # the roll modulation u[k1] = exp(-2πi roll n2 k1 / n)
+    k1 = k1_lo + np.arange(n1_keep)
+    m1, kk = np.meshgrid(np.arange(n1), k1, indexing="ij")
+    ang = 2.0 * np.pi * ((m1 * kk) % n1) / n1
+    uang = -2.0 * np.pi * roll * n2 * k1.astype(np.float64) / n
+    d1 = np.exp(1j * ang) * np.exp(1j * uang)[None, :]
+    outer_r = np.concatenate([np.real(d1), -np.imag(d1)], axis=0)
+    outer_i = np.concatenate([np.imag(d1), np.real(d1)], axis=0)
+
+    return (
+        cfft.split_bf16(inner_r),
+        cfft.split_bf16(inner_i),
+        (tw_r, tw_i),
+        cfft.split_bf16(outer_r),
+        cfft.split_bf16(outer_i),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_key", "has_elem", "interpret")
+)
+def fused_big_ifft(
+    flatr, flati,              # (P, B, N) assembled (unrolled) spectra
+    elem_r=None, elem_i=None,  # optional (N,) pre-roll elementwise factor
+    *,
+    shape_key,                 # (n, n2, n1, lo, roll, gain) — static
+    has_elem: bool = False,
+    interpret: bool = False,
+):
+    """Fused IFFT(roll(X·elem, -roll))·gain, keeping [lo, N-lo).
+    Returns (P, B, keep) kept time series as (re, im)."""
+    n, n2, n1, lo, roll, gain = shape_key
+    n_pol, n_blocks, n_flat = flatr.shape
+    assert n_flat == n
+    n1_keep = (n - 2 * lo) // n2
+    (i_r, i_i, (tw_r, tw_i), o_r, o_i) = _constants(
+        n, n2, n1, lo, roll, gain
+    )
+
+    x3r = flatr.reshape(n_pol, n_blocks, n2, n1)
+    x3i = flati.reshape(n_pol, n_blocks, n2, n1)
+
+    def kern(xr_ref, xi_ref,
+             i_rh, i_rl, i_ih, i_il, twr_ref, twi_ref,
+             o_rh, o_rl, o_ih, o_il,
+             er_ref, ei_ref, or_ref, oi_ref):
+        xr = xr_ref[0, 0]
+        xi = xi_ref[0, 0]
+        if has_elem:
+            er, ei = er_ref[:], ei_ref[:]
+            xr, xi = xr * er - xi * ei, xr * ei + xi * er
+        cat = jnp.concatenate([xr, xi], axis=0)         # (2*n2, n1)
+        br = _kernel_dot_t(cat, i_rh[:], i_rl[:])       # (n1, n2)
+        bi = _kernel_dot_t(cat, i_ih[:], i_il[:])
+        tr, ti = twr_ref[:], twi_ref[:]
+        cr = br * tr - bi * ti                          # (n1, n2)
+        ci = br * ti + bi * tr
+        cat2 = jnp.concatenate([cr, ci], axis=0)        # (2*n1, n2)
+        or_ref[0, 0] = _dot_t_const_first(o_rh[:], o_rl[:], cat2)
+        oi_ref[0, 0] = _dot_t_const_first(o_ih[:], o_il[:], cat2)
+
+    grid = (n_pol, n_blocks)
+    spec_in = pl.BlockSpec((1, 1, n2, n1), lambda p, b: (p, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda p, b: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if has_elem:
+        e_r = elem_r.reshape(n2, n1)
+        e_i = elem_i.reshape(n2, n1)
+    else:
+        e_r = jnp.ones((8, 128), jnp.float32)
+        e_i = jnp.zeros((8, 128), jnp.float32)
+
+    const_args = [
+        i_r[0], i_r[1], i_i[0], i_i[1], tw_r, tw_i,
+        o_r[0], o_r[1], o_i[0], o_i[1],
+    ]
+    const_args = [jnp.asarray(m) for m in const_args]
+    const_specs = [cspec(m.shape) for m in const_args]
+
+    outr, outi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=(
+            [spec_in, spec_in] + const_specs
+            + [cspec(e_r.shape), cspec(e_i.shape)]
+        ),
+        out_specs=[
+            pl.BlockSpec((1, 1, n1_keep, n2), lambda p, b: (p, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1_keep, n2), lambda p, b: (p, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pol, n_blocks, n1_keep, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, n_blocks, n1_keep, n2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3r, x3i, *const_args, e_r, e_i)
+
+    keep = n1_keep * n2
+    return (
+        outr.reshape(n_pol, n_blocks, keep),
+        outi.reshape(n_pol, n_blocks, keep),
+    )

@@ -73,3 +73,120 @@ class TestFusedAnalysis:
                 _noise(1, 10000), np.ones(100), 50, Rational(4, 3),
                 interpret=True,
             )
+
+
+from ska_pst_dsp_tpu.ops import polyphase_synthesis
+from ska_pst_dsp_tpu.ops.pallas.synthesis_fused import (
+    polyphase_synthesis_fused,
+)
+from ska_pst_dsp_tpu.ops.pallas.ifft_fused import plan_ifft
+
+
+def _fine_noise(n_pol, n_chan, n_dat, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((n_pol, n_chan, n_dat))
+        + 1j * rng.standard_normal((n_pol, n_chan, n_dat))
+    ).astype(np.complex64)
+
+
+class TestFusedSynthesis:
+    """polyphase_synthesis_fused (Pallas frontend + fused IFFT epilogue) vs
+    the composed XLA kernel, in interpret mode."""
+
+    OS = Rational(4, 3)
+    N_CHAN, L, OV = 256, 256, 48
+
+    def _filt(self):
+        return fir.design_pfb_fir_filter(self.N_CHAN, self.OS, 12)
+
+    def _both(self, x, **kwargs):
+        filt = kwargs.pop("deripple_coeff", self._filt())
+        common = dict(
+            input_overlap=self.OV, deripple_coeff=filt,
+            temporal_taper="tukey", **kwargs,
+        )
+        ref = np.asarray(
+            polyphase_synthesis(x, self.L, self.OS, **common)
+        )
+        got = np.asarray(
+            polyphase_synthesis_fused(
+                x, self.L, self.OS, interpret=True, **common
+            )
+        )
+        return ref, got
+
+    def test_plan_low_epilogue(self):
+        # low: 49152-point IFFT = 96x512, overlap 9216 = 96*96 — fused
+        assert plan_ifft(49152, 9216) == (96, 512)
+        # mid: 1.8M-point blocks exceed VMEM — composed fallback
+        assert plan_ifft(1_835_008, 458_752) is None
+
+    def test_matches_reference_low(self):
+        ref, got = self._both(_fine_noise(2, self.N_CHAN, 2000, seed=1))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+    def test_spectral_taper(self):
+        ref, got = self._both(
+            _fine_noise(2, self.N_CHAN, 1500, seed=2), spectral_taper="tukey"
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+    def test_spectral_filter(self):
+        """Dedispersion-chirp slot rides the fused epilogue's elementwise
+        constant (pre-rolled by the modulation-theorem shift)."""
+        rng = np.random.default_rng(3)
+        sf = np.exp(2j * np.pi * rng.random(self.N_CHAN * 192)).astype(
+            np.complex64
+        )
+        ref, got = self._both(
+            _fine_noise(1, self.N_CHAN, 1500, seed=3), spectral_filter=sf
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+    def test_critical_no_nyquist(self):
+        x = _fine_noise(1, self.N_CHAN, 1200, seed=4)
+        filt = self._filt()
+        ref = np.asarray(
+            polyphase_synthesis(
+                x, self.L, self.OS, spans_nyquist=False,
+                input_overlap=self.OV, temporal_taper="tukey",
+            )
+        )
+        got = np.asarray(
+            polyphase_synthesis_fused(
+                x, self.L, self.OS, spans_nyquist=False,
+                input_overlap=self.OV, temporal_taper="tukey",
+                interpret=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+    def test_tuple_api(self):
+        x = _fine_noise(1, self.N_CHAN, 1200, seed=5)
+        rr, ri = polyphase_synthesis_fused(
+            (np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)),
+            self.L, self.OS, input_overlap=self.OV,
+            temporal_taper="tukey", interpret=True,
+        )
+        ref = np.asarray(
+            polyphase_synthesis(
+                x, self.L, self.OS, input_overlap=self.OV,
+                temporal_taper="tukey",
+            )
+        )
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+    def test_combine_permutation(self):
+        ref, got = self._both(
+            _fine_noise(1, self.N_CHAN, 1200, seed=6), combine=16
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
