@@ -66,6 +66,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmsOutput", type=float, default=0.0)
     p.add_argument("--offset", type=int, default=20000,
                    help="temporal_impulse sample offset")
+    p.add_argument("--frequency", type=float, default=0.0,
+                   help="complex_sinusoid frequency in cycles/sample "
+                        "(overrides the header TONEFREQ)")
     p.add_argument("--blocks", type=int, default=0,
                    help="override number of blocks")
     p.add_argument("--blocksz", type=int, default=0,
@@ -259,16 +262,41 @@ def run(argv=None) -> int:
             )
     elif signal == "complex_sinusoid":
         calfreq = float(header.get("TONEFREQ", 250000.0))
-        gen = signals.PureTone(frequency=(calfreq * tsamp) / 1e6)
+        freq = a.frequency if a.frequency else (calfreq * tsamp) / 1e6
+        gen = signals.PureTone(frequency=freq)
         if a.test:
+            from fractions import Fraction
+
             stages = []
             if level >= 1:
                 stages.append((n_chan, os1))
             if level >= 2:
                 stages.append((config2.channels, os2))
+            resample = None
+            db_max = -60.0
+            check_bin, guard = True, 0
+            if a.invert and a.critical and two_stage:
+                # critical inversion emits at de/nu rate with the
+                # half-fine-channel modulation (polyphase_synthesis.m:253-255
+                # keeps each channel's band at its lower edge); its purity is
+                # bounded by the chomp's hard band edges, not the -60 dB
+                # requirement (which applies to the full Nyquist-spanning
+                # inversion)
+                nch2c = os2.normalize((config2 or config).channels)
+                resample = (
+                    Fraction(os2.nu, os2.de), Fraction(1, 2 * nch2c)
+                )
+                db_max = -40.0
+                if a.combine > 1:
+                    # the combine reordering's bin mapping is a nested
+                    # permutation; require a single dominant line instead
+                    resample = None
+                    check_bin, guard = False, 64
             tester = testers.TestPureTone(
                 frequency=gen.frequency, stages=stages,
                 critical=a.critical and level == 2,
+                resample=resample, db_max=db_max,
+                check_bin=check_bin, guard=guard,
             )
     elif signal == "temporal_impulse":
         gen = signals.Impulse(offset=a.offset)
@@ -278,6 +306,12 @@ def run(argv=None) -> int:
             )
             fir_offset = config.fir_offset_direction * (filt_coeff.size // 2)
             filter_offset = output_overlap - 1 + config.kludge_offset
+            if a.invert and a.critical and two_stage:
+                raise ValueError(
+                    "impulse testing after critical inversion is undefined: "
+                    "the band-limited (chomped) impulse violates the "
+                    "+-1-sample criterion by construction"
+                )
             col = support = None
             if level >= 1:
                 # expected peak column of the channelized stream (calibrated
@@ -303,6 +337,15 @@ def run(argv=None) -> int:
                     fl2 = _geometry.padded_filter_length(filt2.size, nch2)
                     support = support // step2 + fl2 // step2 + 2
                     t1 = (t1 - fl2 / 2) / step2
+                elif two_stage and a.invert:
+                    # coarse channels after the stage-2 round trip: the
+                    # inverted stream reproduces stage-1 advanced by the
+                    # stage-2 total sample shift
+                    cfg2 = config2 or config
+                    filt2 = cfg2.load_fir_filter_coeff()
+                    t1 -= _geometry.total_sample_shift(
+                        cfg2.channels, os2, filt2.size, cfg2.input_overlap
+                    )
                 col = int(_math.floor(t1 + 0.5))
             tester = testers.TestImpulse(
                 offset=gen.offset + fir_offset - filter_offset,
@@ -373,6 +416,14 @@ def run(argv=None) -> int:
 
     if not a.test:
         module_logger.info("sgcht: wrote %s", out_path)
+    elif tester is not None and tester_state.current == 0:
+        # a test run whose tester never saw a sample proves nothing — the
+        # reference returns 0 here (vacuous pass); we refuse to
+        module_logger.error(
+            "sgcht: tester starved — no samples reached it (increase "
+            "blocks/blocksz)"
+        )
+        return -2
     return 0
 
 

@@ -47,6 +47,7 @@ def run(argv=None) -> int:
 
     sweep = SWEEP[: a.subset] if a.subset else SWEEP
     failures = []
+    results = {}
     for cfg in a.cfgs:
         for signal in a.signals:
             for extra in sweep:
@@ -56,7 +57,13 @@ def run(argv=None) -> int:
                 # in-stream testers actually see output, and place the
                 # impulse beyond the stage-2 filter warm-up
                 two_stage = "--two_stage" in extra
-                blocksz = a.blocksz * (8 if two_stage else 1)
+                # the two-stage inverse consumes a full inversion block of
+                # stage-2 spectra per coarse channel before emitting anything
+                # (~n_chan^2 * fft_length raw samples)
+                mult = 1
+                if two_stage:
+                    mult = 48 if "--invert" in extra else 8
+                blocksz = a.blocksz * mult
                 offset = (
                     blocksz if two_stage and signal == "temporal_impulse"
                     else 20000
@@ -71,11 +78,27 @@ def run(argv=None) -> int:
                     rc = sgcht.run(args)
                 except Exception as exc:  # config invalid for this combo
                     module_logger.warning("SKIP %s (%s)", label, exc)
+                    results[label] = {"status": "SKIP", "reason": str(exc)}
                     continue
                 status = "PASS" if rc == 0 else "FAIL"
                 module_logger.info("%s: sgcht %s", status, label)
+                results[label] = {"status": status, "rc": rc}
                 if rc != 0:
                     failures.append(label)
+
+    import json
+    import os
+
+    from .sgcht import PRODUCTS_DIR
+
+    os.makedirs(PRODUCTS_DIR, exist_ok=True)
+    report_path = os.path.join(
+        PRODUCTS_DIR, f"report.test_sgcht.{'-'.join(a.cfgs)}.json"
+    )
+    with open(report_path, "w") as f:
+        json.dump(results, f, indent=1)
+    module_logger.info("wrote %s", report_path)
+
     if failures:
         module_logger.error("%d failures:\n%s", len(failures),
                             "\n".join(failures))

@@ -59,13 +59,27 @@ class TestPureTone:
     rectangular-window leakage (-13 dB) would mask the measurement."""
 
     def __init__(self, frequency: float, db_max: float = -60.0,
-                 stages: Sequence = (), critical: bool = False):
+                 stages: Sequence = (), critical: bool = False,
+                 resample=None, check_bin: bool = True, guard: int = 0):
         self.frequency = frequency
         self.db_max = db_max
         #: channelization stages of the *tested* stream, outermost first:
         #: sequence of (n_chan, os_factor). Empty = raw/inverted stream.
         self.stages = [(n, Rational.coerce(os)) for n, os in stages]
         self.critical = critical  # last stage critically chomped
+        #: (ratio, offset) Fractions mapping the per-channel baseband tone
+        #: frequency to the tested stream's units — e.g. a critically
+        #: inverted stage (spans_nyquist=False) emits at 3/4 rate with a
+        #: half-fine-channel modulation (polyphase_synthesis.m:253-255 keeps
+        #: each channel's band starting at its lower edge), so
+        #: f_out = f*nu/de + 1/(2*nch2_critical).
+        self.resample = resample
+        #: check_bin False: only require one dominant line (peak anywhere)
+        #: with spurious <= db_max outside +-guard bins — for streams whose
+        #: exact bin mapping is impractical to predict (combine>1 inverse
+        #: reordering); guard masks the non-integer-bin leakage skirt.
+        self.check_bin = check_bin
+        self.guard = guard
 
     def init_state(self) -> TesterState:
         return TesterState()
@@ -76,6 +90,9 @@ class TestPureTone:
 
         f = Fraction(self.frequency).limit_denominator(1 << 24)
         if nchan_data == 1 or not self.stages:
+            if self.resample is not None:
+                ratio, off = self.resample
+                f = f * ratio + off
             return None, f
         chans = []
         for n, os in self.stages:
@@ -83,6 +100,9 @@ class TestPureTone:
             c = int(round(fb)) % n
             chans.append(c)
             f = (fb - round(fb)) * Fraction(os.de, os.nu)
+        if self.resample is not None:
+            ratio, off = self.resample
+            f = f * ratio + off
         # flatten the stage channel indices into the output channel axis
         idx: Optional[int] = 0
         total = 1
@@ -128,6 +148,20 @@ class TestPureTone:
             spec_db = 20 * np.log10(np.abs(np.fft.fft(v) / nfft) + 1e-30)
             a_index = int(spec_db.argmax())
             spec_db = spec_db - spec_db[a_index]
+            if not self.check_bin:
+                g = self.guard
+                mask = np.ones(nfft, dtype=bool)
+                for d in range(-g, g + 1):
+                    mask[(a_index + d) % nfft] = False
+                worst = spec_db[mask].max()
+                if worst > self.db_max:
+                    state = dataclasses.replace(
+                        state,
+                        failures=state.failures + 1,
+                        detail=f"spurious {worst:.1f} dB > {self.db_max}",
+                    )
+                    return state, -1
+                continue
             if a_index != exp_index:
                 if a_index == (nfft // 2 + exp_index) % nfft:
                     pass  # band swap (TestPureTone.m:63-66)
