@@ -1,0 +1,138 @@
+"""Scaling-efficiency benchmark for the sharded pipelines.
+
+Measures the time-sharded (1-D) and chan×time (2-D) round trips at the
+production low geometry over growing device counts and reports samples/s
+and parallel efficiency vs the single-device run:
+
+    python -m ska_pst_dsp_tpu.cli.scaling_bench --devices 1 2 4 8
+
+On real multi-chip hardware the efficiency numbers are the BASELINE
+scaling target (>= 90% at N >= 2); under
+``--xla_force_host_platform_device_count`` the same program structure runs
+on one host's cores, so the report records the collective/halo structure
+and relative overhead trends, not real ICI scaling (the report notes which).
+
+Writes products/report.scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+module_logger = logging.getLogger(__name__)
+
+
+def _measure(fn, args, reps):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def run(argv=None) -> int:
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..design import fir
+    from ..parallel.sharded import make_mesh, sharded_round_trip
+    from ..parallel.corner_turn import make_mesh_2d, sharded_round_trip_2d
+    from ..utils import geometry
+    from ..utils.rational import Rational
+    from .sgcht import PRODUCTS_DIR
+
+    p = argparse.ArgumentParser(prog="scaling_bench")
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--samples-per-device", type=int, default=192 * 4 * 1200)
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if a.verbose else logging.INFO)
+
+    os_f = Rational(4, 3)
+    n_chan, L, ov = 256, 256, 48
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    avail = len(jax.devices())
+    counts = [d for d in a.devices if d <= avail]
+
+    report = {
+        "platform": jax.default_backend(),
+        "n_devices_available": avail,
+        "virtual_devices": "force_host_platform" in os.environ.get(
+            "XLA_FLAGS", ""
+        ),
+        "geometry": "low (256 chan, OS 4/3, 3073 taps, L=256, ov=48)",
+        "note": (
+            "weak scaling: samples per device held constant; efficiency = "
+            "throughput / (n_devices * single-device throughput). On a "
+            "virtual CPU mesh this validates program structure, not ICI."
+        ),
+        "runs": {},
+    }
+
+    base_msps = {}
+    for nd in counts:
+        n_dat = nd * a.samples_per_device
+        rng = np.random.default_rng(0)
+        xr = rng.standard_normal((2, n_dat)).astype(np.float32)
+        xi = rng.standard_normal((2, n_dat)).astype(np.float32)
+        entry = {}
+
+        mesh = make_mesh(nd)
+        spec = NamedSharding(mesh, P(None, "time"))
+        args = (jax.device_put(xr, spec), jax.device_put(xi, spec))
+        fn = jax.jit(
+            lambda xa, xb, m=mesh: sharded_round_trip(
+                (xa, xb), filt, n_chan, os_f, L, ov, m
+            )
+        )
+        dt = _measure(fn, args, a.reps)
+        msps = 2 * n_dat / dt / 1e6
+        base_msps.setdefault("1d", msps if nd == counts[0] else base_msps.get("1d"))
+        entry["1d"] = {
+            "msps": round(msps, 1),
+            "efficiency": round(
+                msps / (nd / counts[0] * base_msps["1d"]), 3
+            ),
+        }
+
+        if nd % 2 == 0:
+            mesh2 = make_mesh_2d(2, nd // 2)
+            spec2 = NamedSharding(mesh2, P(None, "time"))
+            args2 = (jax.device_put(xr, spec2), jax.device_put(xi, spec2))
+            fn2 = jax.jit(
+                lambda xa, xb, m=mesh2: sharded_round_trip_2d(
+                    (xa, xb), filt, n_chan, os_f, L, ov, m
+                )
+            )
+            dt2 = _measure(fn2, args2, a.reps)
+            entry["2d_2xT"] = {"msps": round(2 * n_dat / dt2 / 1e6, 1)}
+
+        report["runs"][str(nd)] = entry
+        module_logger.info("devices=%d: %s", nd, entry)
+
+    os.makedirs(PRODUCTS_DIR, exist_ok=True)
+    path = os.path.join(PRODUCTS_DIR, "report.scaling.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    module_logger.info("wrote %s", path)
+    return 0
+
+
+def main():
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,151 @@ def make_mesh_2d(n_chan_devices: int, n_time_devices: int) -> Mesh:
                 ("chan", "time"))
 
 
+def sharded_polyphase_analysis_2d(
+    x,
+    filt,
+    block: int,
+    os_factor,
+    mesh: Mesh,
+) -> Pair:
+    """Single-stage analysis PFB on a ('chan', 'time') mesh.
+
+    The polyphase fold runs time-sharded (with the filter-history halo from
+    the next time shard, as in the 1-D pipeline); the DFT — where the FLOPs
+    are — is a matmul against the constant block matrix whose *columns* are
+    output channels, so the 'chan' axis shards the matrix columns: each
+    device computes its own output-channel slice for its time shard's
+    spectra, with **no collective at all** (the fold is replicated across
+    the chan axis — ~17% of the DFT's flops at the low geometry). Output is
+    (n_pol, block, n_spectra) sharded P(None, 'chan', 'time') — exactly the
+    input layout of :func:`sharded_polyphase_synthesis_2d`, whose
+    all-to-all corner turn then re-gathers whole spectra per block.
+
+    x: (n_pol, n_dat) pair/complex, n_dat divisible by
+    time_devices*step*nu; block divisible by the chan axis.
+    """
+    os_factor = Rational.coerce(os_factor)
+    if isinstance(x, tuple):
+        xr, xi = jnp.asarray(x[0]), jnp.asarray(x[1])
+    else:
+        xr, xi = cfft.split(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
+    from ..ops import analysis as _analysis
+
+    step = geometry.analysis_step(block, os_factor)
+    dc = mesh.shape["chan"]
+    dt = mesh.shape["time"]
+    n_pol, n_dat = xr.shape
+    if block % dc:
+        raise ValueError(f"block={block} not divisible by chan axis {dc}")
+    shard = n_dat // dt
+    if shard % (step * os_factor.nu):
+        raise ValueError(
+            f"time shard {shard} must be a multiple of step*nu = "
+            f"{step * os_factor.nu}"
+        )
+    cs = block // dc
+
+    f2d = jnp.asarray(_analysis._prep_filter(filt, block))
+    fl = f2d.shape[0] * block
+    # DFT block matrix: [Br | Bi] columns are output channels
+    dblk = jnp.asarray(cfft._dft_block(block, inverse=False))  # (2b, 2b)
+    # ramp has period nu in the spectrum index (step*nu ≡ 0 mod block)
+    rr_nu, ri_nu = _analysis._phase_ramp(block, step, os_factor.nu, 0)
+    rr_nu = jnp.asarray(rr_nu)
+    ri_nu = jnp.asarray(ri_nu)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            (P(None, "time"), P(None, "time")),
+            P(None, None), P(None, None), P(None, None), P(None, None),
+        ),
+        out_specs=(P(None, "chan", "time"), P(None, "chan", "time")),
+    )
+    def run(pair, f2d_l, dblk_l, rr_l, ri_l):
+        lr, li = pair
+        n = jax.lax.axis_size("time")
+        perm = [(i, i - 1) for i in range(1, n)]
+        hr = jax.lax.ppermute(lr[..., :fl], "time", perm)
+        hi_ = jax.lax.ppermute(li[..., :fl], "time", perm)
+        xer = jnp.concatenate([lr, hr], axis=-1)
+        xei = jnp.concatenate([li, hi_], axis=-1)
+
+        fr, fi = _analysis._fold(xer, xei, f2d_l, step)  # (P, K, block)
+        k_loc = fr.shape[1]
+        cat = jnp.concatenate([fr, fi], axis=-1)  # (P, K, 2*block)
+
+        # my output-channel slice of the DFT matrix columns
+        c0 = jax.lax.axis_index("chan") * cs
+        d_re = jax.lax.dynamic_slice_in_dim(dblk_l, c0, cs, axis=1)
+        d_im = jax.lax.dynamic_slice_in_dim(dblk_l, block + c0, cs, axis=1)
+        sr = jnp.einsum(
+            "pkt,tc->pkc", cat, d_re, precision=cfft._PRECISION
+        ) * block
+        si = jnp.einsum(
+            "pkt,tc->pkc", cat, d_im, precision=cfft._PRECISION
+        ) * block
+
+        # derotation ramp, same column slice, tiled over the nu-period
+        r_re = jax.lax.dynamic_slice_in_dim(rr_l, c0, cs, axis=1)
+        r_im = jax.lax.dynamic_slice_in_dim(ri_l, c0, cs, axis=1)
+        reps = k_loc // r_re.shape[0]
+        r_re = jnp.tile(r_re, (reps, 1))
+        r_im = jnp.tile(r_im, (reps, 1))
+        outr = sr * r_re - si * r_im
+        outi = sr * r_im + si * r_re
+        return (
+            jnp.transpose(outr, (0, 2, 1)),
+            jnp.transpose(outi, (0, 2, 1)),
+        )
+
+    rr, ri = run((xr, xi), f2d, dblk, rr_nu, ri_nu)
+    return rr[:, :, : n_dat // step], ri[:, :, : n_dat // step]
+
+
+def sharded_round_trip_2d(
+    x,
+    filt,
+    n_chan: int,
+    os_factor,
+    input_fft_length: int,
+    input_overlap: int,
+    mesh: Mesh,
+    *,
+    temporal_taper: str = "tukey",
+    deripple: bool = True,
+) -> Pair:
+    """Full 2-D pipeline: channel×time-sharded analysis → corner-turn
+    synthesis. The fine-channel stream never leaves its
+    P(None, 'chan', 'time') layout between the stages."""
+    os_factor = Rational.coerce(os_factor)
+    cr, ci = sharded_polyphase_analysis_2d(x, filt, n_chan, os_factor, mesh)
+    dt = mesh.shape["time"]
+    dc = mesh.shape["chan"]
+    keep = input_fft_length - 2 * input_overlap
+    n_dat = (x[0] if isinstance(x, tuple) else x).shape[-1]
+    t_valid = geometry.analysis_nblocks(
+        n_dat, int(np.asarray(filt).size), n_chan, os_factor
+    )
+    # whole inversion blocks per time shard, divisible by the chan axis
+    t_shard = (t_valid // (dt * keep * dc)) * keep * dc
+    spec = NamedSharding(mesh, P(None, "chan", "time"))
+    cr = jax.lax.with_sharding_constraint(cr[:, :, : t_shard * dt], spec)
+    ci = jax.lax.with_sharding_constraint(ci[:, :, : t_shard * dt], spec)
+    return sharded_polyphase_synthesis_2d(
+        (cr, ci),
+        input_fft_length,
+        os_factor,
+        mesh,
+        input_overlap=input_overlap,
+        deripple_coeff=filt if deripple else None,
+        temporal_taper=temporal_taper,
+    )
+
+
 def sharded_polyphase_synthesis_2d(
     x,
     input_fft_length: int,

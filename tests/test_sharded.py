@@ -187,3 +187,91 @@ class TestCornerTurn2D:
         ))
         scale = np.abs(one).max()
         np.testing.assert_allclose(shd, one, atol=2e-6 * scale, rtol=0)
+
+
+class TestProductionLowSharded:
+    """Sharded pipelines at the PRODUCTION low geometry (256 chan, 3073
+    taps, L=256/ov=48) — halo/alignment bugs that only appear at
+    step=192/fl=3328 scale cannot hide behind toy shapes here."""
+
+    @pytest.fixture(scope="class")
+    def low(self):
+        from ska_pst_dsp_tpu.design import fir
+
+        os_f = Rational(4, 3)
+        filt = fir.design_pfb_fir_filter(256, os_f, 12)
+        return os_f, filt, 256, 256, 48
+
+    @pytest.fixture(scope="class")
+    def noise(self, low):
+        os_f, filt, n_chan, L, ov = low
+        n_dat = 2 * 192 * 4 * 2400  # divisible by 8*step*nu
+        rng = np.random.default_rng(0)
+        return (
+            rng.standard_normal((2, n_dat)) + 1j * rng.standard_normal((2, n_dat))
+        ).astype(np.complex64)
+
+    def test_1d_roundtrip_matches_oneshot(self, low, noise):
+        from ska_pst_dsp_tpu.parallel.sharded import (
+            make_mesh, sharded_round_trip,
+        )
+
+        os_f, filt, n_chan, L, ov = low
+        mesh = make_mesh(8)
+        rr, ri = sharded_round_trip(noise, filt, n_chan, os_f, L, ov, mesh)
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+
+        chan = polyphase_analysis(noise[:, None, :], filt, n_chan, os_f)
+        ref = np.asarray(
+            polyphase_synthesis(
+                chan, L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey",
+            )
+        )
+        n = min(got.shape[2], ref.shape[2])
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            got[..., :n], ref[..., :n], atol=3e-6 * scale, rtol=0
+        )
+
+    def test_2d_analysis_matches_oneshot(self, low, noise):
+        from ska_pst_dsp_tpu.parallel.corner_turn import (
+            make_mesh_2d, sharded_polyphase_analysis_2d,
+        )
+
+        os_f, filt, n_chan, L, ov = low
+        mesh = make_mesh_2d(4, 2)
+        cr, ci = sharded_polyphase_analysis_2d(noise, filt, n_chan, os_f, mesh)
+        got = np.asarray(cr) + 1j * np.asarray(ci)
+        ref = np.asarray(polyphase_analysis(noise[:, None, :], filt, n_chan, os_f))
+        nb = ref.shape[2]
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            got[..., :nb], ref, atol=3e-6 * scale, rtol=0
+        )
+
+    def test_2d_roundtrip_matches_oneshot(self, low, noise):
+        """Channel-sharded analysis -> all-to-all corner turn -> block-
+        sharded big IFFT, against the one-shot chain."""
+        from ska_pst_dsp_tpu.parallel.corner_turn import (
+            make_mesh_2d, sharded_round_trip_2d,
+        )
+
+        os_f, filt, n_chan, L, ov = low
+        mesh = make_mesh_2d(4, 2)
+        rr, ri = sharded_round_trip_2d(noise, filt, n_chan, os_f, L, ov, mesh)
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+
+        chan = polyphase_analysis(noise[:, None, :], filt, n_chan, os_f)
+        ref = np.asarray(
+            polyphase_synthesis(
+                chan, L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey",
+            )
+        )
+        n = min(got.shape[2], ref.shape[2])
+        assert n > 2_000_000  # this is not a toy stream
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            got[..., :n], ref[..., :n], atol=3e-6 * scale, rtol=0
+        )
