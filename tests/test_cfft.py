@@ -7,8 +7,17 @@ import pytest
 
 from ska_pst_dsp_tpu.ops import cfft
 
-# exercise the TPU (matmul) lowering even though tests run on CPU
-cfft.MODE = "matmul"
+
+@pytest.fixture(autouse=True)
+def _matmul_mode():
+    """Exercise the TPU (matmul) lowering even though tests run on CPU —
+    restored afterwards so the mode doesn't leak into other modules (the
+    rest of the suite intentionally runs the CPU-native path; a leaked
+    matmul mode changes every later test's numeric floor)."""
+    prev = cfft.MODE
+    cfft.MODE = "matmul"
+    yield
+    cfft.MODE = prev
 
 # sizes: analysis FFTs (256, 512, 192...), lowcbf (256), synthesis forward
 # (256, 512), big inverse FFTs: low 192*256=49152, mid 448*4096=1835008,

@@ -195,3 +195,61 @@ class TestDedispersion:
         s = m // 8
         err = np.abs(a[s:-s] - b[s:-s])
         assert err.mean() < 1e-3
+
+
+class TestPurityProductionAdversarial:
+    """Purity harness at the PRODUCTION low config with ADVERSARIAL impulse
+    placement: inversion block boundaries ± output_overlap ± 1 — exactly the
+    points current_performance.m:60-74 sweeps because blockwise overlap-save
+    leaks there first. (The committed products/performance.*.low.json files
+    carry the full CLI sweeps; this is the CI gate.)"""
+
+    @pytest.fixture(scope="class")
+    def purity(self, tmp_path_factory):
+        from ska_pst_dsp_tpu.utils.config import load_config
+
+        out = str(tmp_path_factory.mktemp("purity_low"))
+        cfg = load_config("low")
+        cfg.load_fir_filter_coeff()
+        p = TestPurity(
+            n_test=2,
+            os_factor=str(cfg.os_factor),
+            input_fft_length=cfg.input_fft_length,
+            input_overlap=cfg.input_overlap,
+            fft_window=cfg.temporal_taper,
+            deripple=cfg.deripple,
+            channels=cfg.channels,
+            fir_filter_taps=cfg.fir_filter_taps,
+            blocks=3,
+            backend={"test_vectors": "numpy", "channelize": "jax",
+                     "synthesize": "jax"},
+            output_dir=out,
+            make_plots=False,
+        )
+        import ska_pst_dsp_tpu.data_gen as dg
+
+        p.channelizer = dg.channelize(
+            backend="jax", channels=cfg.channels,
+            os_factor_str=str(cfg.os_factor),
+            fir_filter_path=cfg.fir_filter_path,
+        )
+        p.pipeline = dg.pipeline(
+            p.generator, p.channelizer, lambda a, **k: a, output_dir=out
+        )
+        # adversarial placement: output-block seam, seam +- overlap, +-1
+        keep = p.block_size - 2 * p.output_sample_shift  # output_keep
+        seam = p.total_sample_shift + keep
+        p.time_domain_args["offset"] = [
+            seam, seam - 1, seam + 1,
+            seam - p.output_sample_shift, seam + p.output_sample_shift,
+        ]
+        return p
+
+    def test_block_boundary_impulses(self, purity):
+        rep = purity.temporal_purity()
+        assert len(rep) == 5
+        for r in rep:
+            assert r["max_spurious_power"] < -60, r
+            # a real measurement, not the -130 dB epsilon floor of an
+            # untouched stream
+            assert r["max_spurious_power"] > -120, r
