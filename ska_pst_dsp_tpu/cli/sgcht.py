@@ -380,19 +380,26 @@ def run(argv=None) -> int:
         os.makedirs(a.output_dir, exist_ok=True)
         out_path = os.path.join(a.output_dir, output_file_name(a))
 
+    from ..utils.profiling import StageTimer, trace
+
+    timer = StageTimer()
     current = 0
     for i in range(blocks):
-        x = np.asarray(gen.generate(current, blocksz))
-        current += blocksz
-        if x.shape[-1] == 0:
-            break
+        with trace():  # jax.profiler scope when SKA_PST_TRACE_DIR is set
+            with timer.stage("generate", blocksz):
+                x = np.asarray(gen.generate(current, blocksz))
+            current += blocksz
+            if x.shape[-1] == 0:
+                break
 
-        if n_chan > 1 and not a.skip and filterbank is not None:
-            fb_state, x = filterbank.execute(fb_state, x)
-            x = np.asarray(x)
-        if a.invert and inverse is not None:
-            inv_state, x = inverse.execute(inv_state, x)
-            x = np.asarray(x)
+            if n_chan > 1 and not a.skip and filterbank is not None:
+                with timer.stage("channelize", x.shape[-1]):
+                    fb_state, x = filterbank.execute(fb_state, x)
+                    x = np.asarray(x)
+            if a.invert and inverse is not None:
+                with timer.stage("invert", x.shape[-1]):
+                    inv_state, x = inverse.execute(inv_state, x)
+                    x = np.asarray(x)
         if x.shape[-1] == 0:
             continue
 
@@ -414,6 +421,7 @@ def run(argv=None) -> int:
             else:
                 dada.append(out_path, to_write)
 
+    timer.report(module_logger.debug if not a.verbose else None)
     if not a.test:
         module_logger.info("sgcht: wrote %s", out_path)
     elif tester is not None and tester_state.current == 0:

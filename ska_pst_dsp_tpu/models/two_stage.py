@@ -66,8 +66,14 @@ class TwoStageFilterBank:
 
         nch1 = 1 if self.single else out1.shape[1]
         os = Rational.coerce(self.stage1.os_factor)
-        nch2_orig = self.stage2.n_chan
-        nch2 = os.normalize(nch2_orig) if self.critical else nch2_orig
+        # channels the stage-2 kernel actually emits: the LowCBF firmware
+        # model already outputs only its critically-sampled subset
+        # (216 = 256*27/32, polyphase_analysis_lowcbf.m:16,43), in which
+        # case the critical chomp below is a no-op
+        nch2_orig = self.stage2.n_chan_out
+        nch2 = (
+            os.normalize(self.stage2.n_chan) if self.critical else nch2_orig
+        )
         offset = nch2_orig - nch2
 
         # batched stage 2: coarse channels ride the batch (pol) axis of the
@@ -79,7 +85,7 @@ class TwoStageFilterBank:
         t2 = out2.shape[2]
         out2 = out2.reshape(n_pol, nch1, nch2_orig, t2)
 
-        if self.critical:
+        if self.critical and offset > 0:
             # chomp oversampled middle channels; stage-2 channel 0 is DC and
             # nch2/2 is Nyquist (TwoStageFilterBank.m:102-105). The matlab
             # 1-based overlapping assignment keeps tmp[j] for j<nch2/2-1 and
