@@ -155,12 +155,23 @@ def bench_low(n_dat=2**21, reps=50):
     else:
         analysis, synthesis = polyphase_analysis, polyphase_synthesis
 
-    def forward(a, b):
-        cr, ci = analysis((a, b), filt, n_chan, os_f)
-        return synthesis(
-            (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
-            temporal_taper="tukey",
-        )
+    if on_tpu:
+        # time-major handoff between the fused kernels: the analysis writes
+        # its native (P, T, C) layout and the synthesis consumes it directly
+        # — two full-stream transposes never happen
+        def forward(a, b):
+            cr, ci = analysis((a, b), filt, n_chan, os_f, time_major=True)
+            return synthesis(
+                (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey", time_major_in=True,
+            )
+    else:
+        def forward(a, b):
+            cr, ci = analysis((a, b), filt, n_chan, os_f)
+            return synthesis(
+                (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey",
+            )
 
     dt = _chain_timer(forward, (xr, xi), reps)
     return (xr.shape[0] * n_dat) / dt

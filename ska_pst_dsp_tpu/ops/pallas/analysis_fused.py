@@ -74,38 +74,56 @@ def _kernel(
     dblk_h_ref, dblk_l_ref,  # (2*block, 2*block) bf16 hi/lo VMEM
     rampr_ref, rampi_ref,    # (TILE_K, block) VMEM
     or_ref, oi_ref,          # out tiles (2, block, TILE_K) VMEM
-    xbr, xbi,                # scratch (A, 2, NS2*L) VMEM
-    sems,                    # DMA semaphores (2, A)
+    xbr, xbi,                # scratch (2 slots, A, 2, NS2*L) VMEM
+    sems,                    # DMA semaphores (2 slots, 2, A)
     *,
     block: int, step: int, phases: int,
     tile_k: int, sup_l: int, sup_a: int, ns2: int,
 ):
     t = pl.program_id(1)
     pg = pl.program_id(0)   # polarization pair (HBM sublane tiling is 2)
-    base = t * tile_k * step
+    n_t = pl.num_programs(1)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
 
-    copies = []
+    def dma(step_idx, slot_idx, a, c):
+        hbm, buf = ((xr_hbm, xbr), (xi_hbm, xbi))[c]
+        # base is a multiple of L (lane-tiling aligned); the a*step shift
+        # lives in the pre-staged copy a
+        base = step_idx * tile_k * step
+        return pltpu.make_async_copy(
+            hbm.at[a, pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
+            buf.at[slot_idx, a],
+            sems.at[slot_idx, c, a],
+        )
+
+    def start(step_idx, slot_idx):
+        for a in range(sup_a):
+            for c in range(2):
+                dma(step_idx, slot_idx, a, c).start()
+
+    # double buffering: the grid iterates t innermost, so each step issues
+    # the NEXT step's copies before blocking on its own — DMA rides under
+    # the fold+GEMM instead of serializing ahead of them
+    @pl.when(t == 0)
+    def _():
+        start(t, slot)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        start(t + 1, nxt)
+
     for a in range(sup_a):
-        for c, (hbm, buf) in enumerate(((xr_hbm, xbr), (xi_hbm, xbi))):
-            # base = t*tile_k*step is a multiple of L (lane-tiling aligned);
-            # the a*step shift lives in the pre-staged copy a
-            cp = pltpu.make_async_copy(
-                hbm.at[a, pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
-                buf.at[a],
-                sems.at[c, a],
-            )
-            cp.start()
-            copies.append(cp)
-    for cp in copies:
-        cp.wait()
+        for c in range(2):
+            dma(t, slot, a, c).wait()
 
     ksup = tile_k // sup_a
     f2d = f2d_ref[:]
 
-    def fold(xb):
+    def fold(buf):
         accs = []
         for a in range(sup_a):
-            view = xb[a].reshape(2, ns2, sup_l)
+            view = buf[slot, a].reshape(2, ns2, sup_l)
             acc = jnp.zeros((2, ksup, block), jnp.float32)
             for m in range(phases):
                 ob = m * block
@@ -127,8 +145,11 @@ def _kernel(
 
     rr = rampr_ref[:]
     ri = rampi_ref[:]
-    or_ref[...] = jnp.transpose(sr * rr - si * ri, (0, 2, 1))
-    oi_ref[...] = jnp.transpose(sr * ri + si * rr, (0, 2, 1))
+    # time-major (2, TILE_K, block) writes — no in-kernel transpose (lane↔
+    # sublane crossings are expensive); callers that want the channel-major
+    # (P, block, T) public layout transpose once in XLA outside
+    or_ref[...] = sr * rr - si * ri
+    oi_ref[...] = sr * ri + si * rr
 
 
 @functools.partial(
@@ -163,8 +184,8 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
     )
     grid = (n_pol // 2, nblocks_pad)
     out_shape = [
-        jax.ShapeDtypeStruct((n_pol, block, nblocks_pad * tile_k), jnp.float32),
-        jax.ShapeDtypeStruct((n_pol, block, nblocks_pad * tile_k), jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, block), jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, block), jnp.float32),
     ]
     return pl.pallas_call(
         kern,
@@ -184,16 +205,16 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2, block, tile_k), lambda p, t: (p, 0, t),
+            pl.BlockSpec((2, tile_k, block), lambda p, t: (p, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block, tile_k), lambda p, t: (p, 0, t),
+            pl.BlockSpec((2, tile_k, block), lambda p, t: (p, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((sup_a, 2, ns2 * sup_l), jnp.float32),
-            pltpu.VMEM((sup_a, 2, ns2 * sup_l), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, sup_a)),
+            pltpu.VMEM((2, sup_a, 2, ns2 * sup_l), jnp.float32),
+            pltpu.VMEM((2, sup_a, 2, ns2 * sup_l), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, sup_a)),
         ],
         interpret=interpret,
     )(xr_s, xi_s, f2d, dblk_h, dblk_l, rampr, rampi)
@@ -206,10 +227,15 @@ def polyphase_analysis_fused(
     os_factor,
     *,
     block0: int = 0,
+    time_major: bool = False,
     interpret: bool = False,
 ):
     """Fused single-stage analysis PFB (drop-in for
-    ops.polyphase_analysis). Complex/tuple in → same kind out."""
+    ops.polyphase_analysis). Complex/tuple in → same kind out.
+
+    ``time_major=True`` returns (n_pol, nblocks, block) — the kernel's
+    native write layout and exactly the input layout of the fused
+    synthesis, so a fused round trip skips two full-stream transposes."""
     os_factor = Rational.coerce(os_factor)
     if block % 128:
         raise ValueError("fused kernel requires block % 128 == 0")
@@ -256,6 +282,9 @@ def polyphase_analysis_fused(
         jnp.asarray(rampr), jnp.asarray(rampi),
         block=block, step=step, fl=fl, interpret=interpret,
     )
-    outr = outr[:n_pol, :, :nblocks]
-    outi = outi[:n_pol, :, :nblocks]
+    outr = outr[:n_pol, :nblocks, :]
+    outi = outi[:n_pol, :nblocks, :]
+    if not time_major:
+        outr = jnp.swapaxes(outr, -1, -2)
+        outi = jnp.swapaxes(outi, -1, -2)
     return (outr, outi) if pair_in else cfft.combine(outr, outi)

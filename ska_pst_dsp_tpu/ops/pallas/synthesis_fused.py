@@ -159,19 +159,23 @@ def _dsel_matrices(L: int, fnw: int, kpos: int, dr_key) -> Tuple[np.ndarray, ...
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "geom_key", "spans_nyquist", "has_sf", "ifft_plan", "interpret"
+        "geom_key", "spans_nyquist", "has_sf", "ifft_plan", "time_major",
+        "interpret",
     ),
 )
 def _fused_synthesis(
-    xr, xi,                  # (P, C, T) float32
+    xr, xi,                  # (P, C, T) float32 — or (P, T, C) if time_major
     t_taper, s_taper, dsel, perm, sf_r, sf_i, elem,
     *,
     geom_key, spans_nyquist: bool, has_sf: bool = False,
-    ifft_plan=None, interpret: bool = False,
+    ifft_plan=None, time_major: bool = False, interpret: bool = False,
 ):
     n_chan_g, L, overlap, nu, de = geom_key
     geom = geometry.SynthesisGeometry(n_chan_g, L, overlap, Rational(nu, de))
-    n_pol, n_chan, n_dat = xr.shape
+    if time_major:
+        n_pol, n_dat, n_chan = xr.shape
+    else:
+        n_pol, n_chan, n_dat = xr.shape
     n_blocks = geom.n_blocks(n_dat)
     fnw = geom.fn_width
     keep = geom.input_keep
@@ -185,10 +189,18 @@ def _fused_synthesis(
     pad = max(0, t_pad - n_dat)
 
     xs = jnp.stack([xr, xi])
-    xs = jnp.take(xs, perm, axis=2)
-    if pad:
-        xs = jnp.pad(xs, [(0, 0), (0, 0), (0, 0), (0, pad)])
-    xs = jnp.swapaxes(xs[..., :t_pad], -1, -2)  # time-major (2, P, T_pad, C)
+    if time_major:
+        # already the kernel's native layout; combine permutation rides the
+        # channel (last) axis
+        xs = jnp.take(xs, perm, axis=3)
+        if pad:
+            xs = jnp.pad(xs, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        xs = xs[:, :, :t_pad, :]
+    else:
+        xs = jnp.take(xs, perm, axis=2)
+        if pad:
+            xs = jnp.pad(xs, [(0, 0), (0, 0), (0, 0), (0, pad)])
+        xs = jnp.swapaxes(xs[..., :t_pad], -1, -2)  # (2, P, T_pad, C)
 
     kern = functools.partial(
         _kernel, L=L, keep=keep, fnw=fnw, c_tile=c_tile, kb=kb,
@@ -283,11 +295,16 @@ def polyphase_synthesis_fused(
     spectral_taper: Union[str, np.ndarray, None] = "no_window",
     combine: int = 1,
     spectral_filter=None,
+    time_major_in: bool = False,
     interpret: bool = False,
 ):
     """Drop-in for :func:`ska_pst_dsp_tpu.ops.polyphase_synthesis` with the
     per-channel frontend fused into one Pallas kernel. Same arguments, same
-    in/out typing (complex ↔ complex numpy, (re, im) tuple ↔ tuple)."""
+    in/out typing (complex ↔ complex numpy, (re, im) tuple ↔ tuple).
+
+    ``time_major_in=True`` takes x as (n_pol, n_dat, n_chan) — the fused
+    analysis' native output layout (``time_major=True``) — skipping the
+    full-stream transpose between the stages."""
     os_factor = Rational.coerce(os_factor)
     pair_in = isinstance(x, tuple)
     if pair_in:
@@ -295,9 +312,16 @@ def polyphase_synthesis_fused(
     else:
         xr, xi = cfft.split(x)
     if sample_offset:
-        xr = xr[:, :, sample_offset:]
-        xi = xi[:, :, sample_offset:]
-    n_pol, n_chan, n_dat = xr.shape
+        if time_major_in:
+            xr = xr[:, sample_offset:, :]
+            xi = xi[:, sample_offset:, :]
+        else:
+            xr = xr[:, :, sample_offset:]
+            xi = xi[:, :, sample_offset:]
+    if time_major_in:
+        n_pol, n_dat, n_chan = xr.shape
+    else:
+        n_pol, n_chan, n_dat = xr.shape
     L = input_fft_length
     if input_overlap is None:
         input_overlap = L // 8
@@ -374,6 +398,7 @@ def polyphase_synthesis_fused(
         spans_nyquist=spans_nyquist,
         has_sf=spectral_filter is not None,
         ifft_plan=ifft_plan,
+        time_major=time_major_in,
         interpret=interpret,
     )
     return (rr, ri) if pair_in else cfft.combine(rr, ri)

@@ -190,3 +190,37 @@ class TestFusedSynthesis:
         )
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+
+
+class TestTimeMajorHandoff:
+    """time_major analysis output feeding time_major_in synthesis — the
+    transpose-free fused round trip bench.py runs on hardware."""
+
+    def test_roundtrip_matches_channel_major(self):
+        os_f = Rational(4, 3)
+        filt = fir.design_pfb_fir_filter(256, os_f, 12)
+        x = _noise(2, 300000, seed=9)
+        pair = (np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag))
+
+        cr, ci = polyphase_analysis_fused(
+            pair, filt, 256, os_f, time_major=True, interpret=True
+        )
+        assert cr.shape[2] == 256  # (P, T, C)
+        rr, ri = polyphase_synthesis_fused(
+            (cr, ci), 256, os_f, input_overlap=48, deripple_coeff=filt,
+            temporal_taper="tukey", time_major_in=True, interpret=True,
+        )
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+
+        c2r, c2i = polyphase_analysis_fused(pair, filt, 256, os_f,
+                                            interpret=True)
+        assert c2r.shape[1] == 256  # (P, C, T)
+        np.testing.assert_allclose(
+            np.asarray(cr), np.asarray(c2r).transpose(0, 2, 1), atol=0
+        )
+        r2r, r2i = polyphase_synthesis_fused(
+            (np.asarray(c2r), np.asarray(c2i)), 256, os_f, input_overlap=48,
+            deripple_coeff=filt, temporal_taper="tukey", interpret=True,
+        )
+        ref = np.asarray(r2r) + 1j * np.asarray(r2i)
+        np.testing.assert_array_equal(got, ref)
