@@ -106,12 +106,12 @@ def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
     inner_r = np.concatenate([d2r, -d2i], axis=0)  # [xr; xi] → Re
     inner_i = np.concatenate([d2i, d2r], axis=0)   # [xr; xi] → Im
 
-    # twiddle W[m1, k2] = exp(+2πi m1 k2 / n) carrying gain/n and the k2
+    # twiddle W[k2, m1] = exp(+2πi m1 k2 / n) carrying gain/n and the k2
     # part of the roll modulation v[k2] = exp(-2πi roll k2 / n)
-    m1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    k2, m1 = np.meshgrid(np.arange(n2), np.arange(n1), indexing="ij")
     ang = 2.0 * np.pi * (m1.astype(np.float64) * k2) / n
     vang = -2.0 * np.pi * roll * np.arange(n2, dtype=np.float64) / n
-    w = np.exp(1j * ang) * (gain / n) * np.exp(1j * vang)[None, :]
+    w = np.exp(1j * ang) * (gain / n) * np.exp(1j * vang)[:, None]
     tw_r = np.real(w).astype(np.float32)
     tw_i = np.imag(w).astype(np.float32)
 
@@ -155,30 +155,50 @@ def fused_big_ifft(
         n, n2, n1, lo, roll, gain
     )
 
+    # batch KB blocks per grid step: per-step fixed overhead and narrow-N
+    # GEMM launches would otherwise dominate (134 single-block steps ran as
+    # slow as the composed XLA epilogue)
+    kb = 1
+    while (
+        kb < 8
+        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 8 * 1024 * 1024
+    ):
+        kb *= 2
+    b_pad = -(-n_blocks // kb) * kb
+
     x3r = flatr.reshape(n_pol, n_blocks, n2, n1)
     x3i = flati.reshape(n_pol, n_blocks, n2, n1)
+    if b_pad != n_blocks:
+        pad = [(0, 0), (0, b_pad - n_blocks), (0, 0), (0, 0)]
+        x3r = jnp.pad(x3r, pad)
+        x3i = jnp.pad(x3i, pad)
 
     def kern(xr_ref, xi_ref,
              i_rh, i_rl, i_ih, i_il, twr_ref, twi_ref,
              o_rh, o_rl, o_ih, o_il,
              er_ref, ei_ref, or_ref, oi_ref):
-        xr = xr_ref[0, 0]
-        xi = xi_ref[0, 0]
-        if has_elem:
-            er, ei = er_ref[:], ei_ref[:]
-            xr, xi = xr * er - xi * ei, xr * ei + xi * er
-        cat = jnp.concatenate([xr, xi], axis=0)         # (2*n2, n1)
-        br = _kernel_dot_t(cat, i_rh[:], i_rl[:])       # (n1, n2)
-        bi = _kernel_dot_t(cat, i_ih[:], i_il[:])
-        tr, ti = twr_ref[:], twi_ref[:]
-        cr = br * tr - bi * ti                          # (n1, n2)
-        ci = br * ti + bi * tr
-        cat2 = jnp.concatenate([cr, ci], axis=0)        # (2*n1, n2)
-        or_ref[0, 0] = _dot_t_const_first(o_rh[:], o_rl[:], cat2)
-        oi_ref[0, 0] = _dot_t_const_first(o_ih[:], o_il[:], cat2)
+        # every GEMM keeps the WIDE axis (n1=512 / n1_keep) in the lanes —
+        # k2 (=96 at the low geometry) as the output lane dim starved the
+        # MXU; k2 rides the sublanes throughout instead, and the caller
+        # transposes the small kept tiles once in XLA
+        tr, ti = twr_ref[:], twi_ref[:]                 # (n2, n1)
+        for b in range(kb):
+            xr = xr_ref[0, b]
+            xi = xi_ref[0, b]
+            if has_elem:
+                er, ei = er_ref[:], ei_ref[:]
+                xr, xi = xr * er - xi * ei, xr * ei + xi * er
+            cat = jnp.concatenate([xr, xi], axis=0)     # (2*n2, n1)
+            br = _dot_t_const_first(i_rh[:], i_rl[:], cat)  # (n2, n1)
+            bi = _dot_t_const_first(i_ih[:], i_il[:], cat)
+            cr = br * tr - bi * ti                      # (n2, n1)
+            ci = br * ti + bi * tr
+            cat2 = jnp.concatenate([cr, ci], axis=1)    # (n2, 2*n1)
+            or_ref[0, b] = cfft.kernel_dot(cat2, o_rh[:], o_rl[:])
+            oi_ref[0, b] = cfft.kernel_dot(cat2, o_ih[:], o_il[:])
 
-    grid = (n_pol, n_blocks)
-    spec_in = pl.BlockSpec((1, 1, n2, n1), lambda p, b: (p, b, 0, 0),
+    grid = (n_pol, b_pad // kb)
+    spec_in = pl.BlockSpec((1, kb, n2, n1), lambda p, b: (p, b, 0, 0),
                            memory_space=pltpu.VMEM)
 
     def cspec(shape):
@@ -207,20 +227,22 @@ def fused_big_ifft(
             + [cspec(e_r.shape), cspec(e_i.shape)]
         ),
         out_specs=[
-            pl.BlockSpec((1, 1, n1_keep, n2), lambda p, b: (p, b, 0, 0),
+            pl.BlockSpec((1, kb, n2, n1_keep), lambda p, b: (p, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n1_keep, n2), lambda p, b: (p, b, 0, 0),
+            pl.BlockSpec((1, kb, n2, n1_keep), lambda p, b: (p, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, n_blocks, n1_keep, n2), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, n_blocks, n1_keep, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
         ],
         interpret=interpret,
     )(x3r, x3i, *const_args, e_r, e_i)
 
+    # kept samples are t = k2 + n2*k1: transpose the small (n2, n1_keep)
+    # tiles to [k1, k2] order (one cheap XLA pass over the kept output only)
     keep = n1_keep * n2
     return (
-        outr.reshape(n_pol, n_blocks, keep),
-        outi.reshape(n_pol, n_blocks, keep),
+        jnp.swapaxes(outr[:, :n_blocks], -1, -2).reshape(n_pol, n_blocks, keep),
+        jnp.swapaxes(outi[:, :n_blocks], -1, -2).reshape(n_pol, n_blocks, keep),
     )
