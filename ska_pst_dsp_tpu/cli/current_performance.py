@@ -100,11 +100,13 @@ def chop(config, input_sig, inverted, meta):
     """Align inverted stream against the input (chop.m role). The reference
     aligns via output_overlap + kludge_offset - fir_offset, where
     kludge_offset patches 1-based indexing quirks of its chain; this chain's
-    verified alignment is output_overlap + (taps-1)//2 (the same quantity
-    the purity harness and the in-stream impulse tester use)."""
+    verified alignment is output_overlap + (taps-1)//2 for the non-padded
+    analysis and output_overlap - 1 (+ residual) for the padded one, which
+    removes its group delay internally (tests/test_mid_production.py)."""
     total = geometry.total_sample_shift(
         config.channels, config.os_factor, config.fir_filter_taps,
         config.input_overlap,
+        padded=config.analysis_function == "polyphase_analysis_padded",
     )
     n = min(inverted.size, input_sig.size - total)
     return input_sig[total: total + n], inverted[:n]
@@ -150,6 +152,7 @@ def run(argv=None) -> int:
             shift = geometry.total_sample_shift(
                 config.channels, os_f, config.fir_filter_taps,
                 config.input_overlap,
+                padded=config.analysis_function == "polyphase_analysis_padded",
             )
             for off in offsets:
                 sig = time_domain_impulse(n_samples, [int(off)], [1],

@@ -102,9 +102,12 @@ def run(argv=None) -> int:
         base_msps.setdefault("1d", msps if nd == counts[0] else base_msps.get("1d"))
         entry["1d"] = {
             "msps": round(msps, 1),
+            # efficiency is relative to the SMALLEST measured device count
+            # (counts[0]) — only "vs single device" when 1 is in the list
             "efficiency": round(
                 msps / (nd / counts[0] * base_msps["1d"]), 3
             ),
+            "efficiency_vs_n": counts[0],
         }
 
         if nd % 2 == 0:

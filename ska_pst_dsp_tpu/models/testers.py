@@ -153,7 +153,8 @@ class TestPureTone:
                 mask = np.ones(nfft, dtype=bool)
                 for d in range(-g, g + 1):
                     mask[(a_index + d) % nfft] = False
-                worst = spec_db[mask].max()
+                # tiny streams (nfft <= 2*guard) leave nothing to test
+                worst = spec_db[mask].max() if mask.any() else -np.inf
                 if worst > self.db_max:
                     state = dataclasses.replace(
                         state,

@@ -182,6 +182,14 @@ def _fused_synthesis(
     kpos = (L // 2 + geom.discard) % L
     if keep % 8:
         raise ValueError(f"fused synthesis requires input_keep % 8 == 0, got {keep}")
+    if n_chan > 128 and n_chan % 128:
+        # _plan tiles channels at 128; a remainder would silently leave the
+        # last (n_chan % 128) channel tiles unwritten (e.g. 216-ch lowpsi
+        # critical slabs must use the composed path)
+        raise ValueError(
+            f"fused synthesis requires n_chan <= 128 or n_chan % 128 == 0, "
+            f"got {n_chan}"
+        )
 
     c_tile, kb = _plan(n_chan, L, keep, fnw)
     n_bt = -(-n_blocks // kb)

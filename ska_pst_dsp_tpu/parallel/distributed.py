@@ -115,6 +115,16 @@ def load_dada_sharded(
             if d.process_index == jax.process_index()
         }
     )
+    # the concatenated pieces are handed to make_array_from_process_local_data,
+    # which requires this process's addressable shards to form one contiguous
+    # run of the global time axis — reject meshes whose process-to-device
+    # layout interleaves rows rather than silently misassembling the stream
+    if local_rows != list(range(local_rows[0], local_rows[0] + len(local_rows))):
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous shard rows "
+            f"{local_rows}; reorder the mesh so each process holds a "
+            f"contiguous run of the sharded axis"
+        )
     # contiguous run per process for a single mmap read each
     pieces = []
     for row in local_rows:

@@ -119,9 +119,26 @@ def total_sample_shift(
     os_factor: Rational,
     filter_taps: int,
     input_overlap: int,
+    *,
+    padded: bool = False,
 ) -> int:
     """Input samples to discard when aligning inverted output against the
-    original input: overlap shift plus FIR group delay
-    (python/verify/purity.py:95-99 in the reference)."""
+    original input (python/verify/purity.py:95-99 in the reference).
+
+    Non-padded analysis leaves the FIR group delay in the stream, so the
+    shift is overlap + (taps-1)//2. The padded (SKA-Mid) analysis removes
+    its own group delay internally — it advances the output by
+    ``padded_sample_delay_shift`` spectra (polyphase_analysis_padded.m:89)
+    and indexes its newest input sample at ``idx*step - 1``
+    (polyphase_analysis_padded.m:121-126) — leaving out[t] = x[t - 1], so
+    the shift is output_overlap - 1 (verified at the production mid
+    geometry in tests/test_mid_production.py and
+    tests/test_current_performance.py). The spectrum-quantized advance
+    assumes (taps-1)/2 is a multiple of step, true for every production
+    padded config; other tap counts smear the reconstruction itself
+    (measured: ~-3 dB impulse amplitude at residual 126), so no shift
+    formula can align them."""
     output_sample_shift = os_factor.normalize(input_overlap) * channels
+    if padded:
+        return output_sample_shift - 1
     return output_sample_shift + (filter_taps - 1) // 2

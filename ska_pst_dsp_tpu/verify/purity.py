@@ -55,6 +55,8 @@ class TestPurity:
         output_dir: typing.Optional[str] = None,
         save_output: bool = False,
         make_plots: typing.Optional[bool] = None,
+        analysis_function: str = "polyphase_analysis",
+        fir_filter_path: typing.Optional[str] = None,
     ):
         backend = backend or {}
         backend = {
@@ -81,8 +83,12 @@ class TestPurity:
         self.fft_size = 2 * block_size
         self.n_samples = block_size * blocks
         self.output_sample_shift = os_factor.normalize(input_overlap) * channels
-        self.total_sample_shift = (
-            self.output_sample_shift + (fir_filter_taps - 1) // 2
+        self.use_padded = analysis_function == "polyphase_analysis_padded"
+        from ..utils import geometry
+
+        self.total_sample_shift = geometry.total_sample_shift(
+            channels, os_factor, fir_filter_taps, input_overlap,
+            padded=self.use_padded,
         )
         self.os_factor = os_factor
 
@@ -100,7 +106,20 @@ class TestPurity:
         self.generator = data_gen.generate_test_vector(
             backend=backend["test_vectors"], n_bins=self.n_samples
         )
-        self.channelizer = data_gen.channelize(backend=backend["channelize"])
+        # pass the sub-config's geometry explicitly: the channelize factory
+        # otherwise falls back to the module-level default config (the
+        # SKA_PST_CONFIG env default), which may not be the config under test
+        self.channelizer = data_gen.channelize(
+            backend=backend["channelize"],
+            channels=channels,
+            os_factor_str=str(os_factor),
+            use_padded=self.use_padded,
+            **(
+                {"fir_filter_path": fir_filter_path}
+                if fir_filter_path
+                else {}
+            ),
+        )
         self.pipeline = data_gen.pipeline(
             self.generator,
             self.channelizer,
@@ -280,6 +299,8 @@ def main(argv=None):
         blocks=config.blocks,
         backend=backend,
         save_output=parsed.save_output,
+        analysis_function=config.analysis_function,
+        fir_filter_path=getattr(config, "fir_filter_path", None),
     )
     if parsed.do_time:
         purity_test.temporal_purity()

@@ -192,6 +192,29 @@ def run_matrix(config, *, dm=None, f0=1405.0, bw=40.0, n_bins=None,
         )
         report[f"test_{name}"] = res
         module_logger.info("%s: %s", name, res)
+
+    # drift tracking: -38 dB is the hard gate, but warn (and record) when any
+    # case degrades >1 dB from the previously published products so slow
+    # regressions are visible long before they cross the gate
+    prior_path = os.path.join(products_dir, "report.verify_pfb_inversion.json")
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prior = {}
+        for name, res in report.items():
+            base = prior.get(name, {}).get("mean_diff_db")
+            if base is not None:
+                res["baseline_mean_diff_db"] = base
+                drift = res["mean_diff_db"] - base
+                res["drift_db"] = round(drift, 2)
+                if drift > 1.0:
+                    module_logger.warning(
+                        "%s degraded %.2f dB vs recorded baseline "
+                        "(%.2f -> %.2f dB)", name, drift, base,
+                        res["mean_diff_db"],
+                    )
     return report
 
 
