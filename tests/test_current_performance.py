@@ -80,6 +80,28 @@ def test_padded_shift_small_geometry():
     assert abs(abs(inv[pk]) - 1.0) < 1e-2
 
 
+def test_published_mid_products_sane():
+    """The published products for the mid config must never regress to the
+    round-2 mis-chop garbage (max diff^2 = 1.0): every in-window point must
+    reconstruct to < 1e-6 and meet the -60 dB requirement."""
+    import os
+
+    from ska_pst_dsp_tpu.data_gen.config import products_dir
+
+    for dom in ("temporal", "spectral"):
+        path = os.path.join(products_dir, f"performance.{dom}.mid.json")
+        if not os.path.exists(path):
+            pytest.skip("mid products not generated")
+        rows = json.load(open(path))[dom]
+        assert rows
+        for r in rows:
+            if not r.get("in_window", True):
+                continue
+            assert r["max"] < 1e-6, r
+            if "max_spurious" in r:
+                assert r["max_spurious"] < -60.0, r
+
+
 class TestCurrentPerformancePadded:
     @pytest.fixture(scope="class")
     def cfg(self, tmp_path_factory):
