@@ -287,16 +287,21 @@ def run(argv=None) -> int:
                     Fraction(os2.nu, os2.de), Fraction(1, 2 * nch2c)
                 )
                 db_max = -40.0
-                if a.combine > 1:
-                    # the combine reordering's bin mapping is a nested
-                    # permutation; require a single dominant line instead
-                    resample = None
-                    check_bin, guard = False, 64
             tester = testers.TestPureTone(
                 frequency=gen.frequency, stages=stages,
                 critical=a.critical and level == 2,
                 resample=resample, db_max=db_max,
                 check_bin=check_bin, guard=guard,
+                # combine>1: the reordered slab's exact line position is
+                # derived from combine_channel_permutation in the tester —
+                # the bin check stays ON (round-2 loosened it to "one
+                # dominant peak"; the mapping is deterministic)
+                combine=a.combine if (a.invert and a.critical and two_stage)
+                else 1,
+                nch2_critical=(
+                    os2.normalize((config2 or config).channels)
+                    if (a.invert and a.critical and two_stage) else 0
+                ),
             )
     elif signal == "temporal_impulse":
         gen = signals.Impulse(offset=a.offset)

@@ -60,9 +60,17 @@ class TestPureTone:
 
     def __init__(self, frequency: float, db_max: float = -60.0,
                  stages: Sequence = (), critical: bool = False,
-                 resample=None, check_bin: bool = True, guard: int = 0):
+                 resample=None, check_bin: bool = True, guard: int = 0,
+                 combine: int = 1, nch2_critical: int = 0):
         self.frequency = frequency
         self.db_max = db_max
+        #: critical inversion with combine>1: the synthesis feeds
+        #: ``nch2_critical * combine``-channel slabs through the
+        #: combine_channel_permutation — the tone's critical channel moves
+        #: to a known slot, shifting the output line by whole channel
+        #: bands (exact mapping derived in _expected)
+        self.combine = combine
+        self.nch2_critical = nch2_critical
         #: channelization stages of the *tested* stream, outermost first:
         #: sequence of (n_chan, os_factor). Empty = raw/inverted stream.
         self.stages = [(n, Rational.coerce(os)) for n, os in stages]
@@ -103,6 +111,33 @@ class TestPureTone:
         if self.resample is not None:
             ratio, off = self.resample
             f = f * ratio + off
+        if self.combine > 1 and self.nch2_critical:
+            # combine>1 critical inversion: slabs of nch2c*combine critical
+            # channels, reordered by combine_channel_permutation before the
+            # big IFFT. After the one-coarse-stage extraction + resample,
+            # f (mod 1) is the tone's band position phi in ONE coarse
+            # channel's critical inversion; the permutation moves its
+            # critical channel cc = floor(phi*nch2c) (within-slab channel
+            # cw = (c1 mod combine)*nch2c + cc) to slot s (perm[s] == cw),
+            # so the combined-group line sits at s/(nch2c*combine) plus the
+            # within-channel offset scaled by the combine-times-faster rate.
+            # Verified against the measured test32 combine=4 line (221/384).
+            from ..ops.synthesis import combine_channel_permutation
+
+            nch2c = self.nch2_critical
+            nch_in = nch2c * self.combine
+            phi = f % 1
+            cc = int(phi * nch2c)
+            delta = phi - Fraction(cc, nch2c)
+            cw = (chans[0] % self.combine) * nch2c + cc
+            perm = combine_channel_permutation(nch_in, self.combine)
+            s = int(np.argwhere(perm == cw)[0, 0])
+            f = Fraction(s, nch_in) + delta / self.combine
+            exp = chans[0] // self.combine
+            return (
+                exp if nchan_data > 1 and exp < nchan_data else None,
+                f,
+            )
         # flatten the stage channel indices into the output channel axis
         idx: Optional[int] = 0
         total = 1

@@ -12,7 +12,10 @@ ONE pallas_call per stream:
     xb[a][m*block//L + K, (m*block % L) + j] of a (rows, L) VMEM view
     (L is a multiple of block, so slices never cross rows and lane offsets
     are multiples of 128). No gathers, no frame tensor, input read ~A times
-    from HBM instead of taps/step (~16) times;
+    from HBM instead of taps/step (~16) times. Only shifts whose lane
+    offset a*step is NOT 128-aligned need a pre-staged shifted copy of the
+    input — 128/gcd(step,128) copies (2 for the low config, 1 — i.e. none —
+    when step % 128 == 0), the aligned remainder rides the DMA offset;
   * the complex DFT is a single (TILE, 2*block) @ (2*block, 2*block) MXU
     matmul against the [[Dr, Di], [-Di, Dr]] block matrix (see ops/cfft);
   * the phase-ramp derotation multiplies in VMEM and the result is written
@@ -68,18 +71,37 @@ def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
     return tile, L, A, ns2(tile)
 
 
+def _n_copies(step: int, sup_a: int) -> int:
+    """Staged input copies needed: shifts a*step share copy (a mod this),
+    with the 128-aligned remainder riding the in-kernel DMA offset."""
+    return min(128 // math.gcd(step, 128), sup_a)
+
+
+def _tail(step: int, sup_a: int, ns2: int, sup_l: int) -> int:
+    """Samples needed past the last tile base: the largest in-kernel DMA
+    offset is (a - a%p)*step within copy c <= p-1, so the input must extend
+    (p-1 + (sup_a-1) - (sup_a-1)%p)*step + the span length."""
+    p = _n_copies(step, sup_a)
+    w = (p - 1) + (sup_a - 1) - (sup_a - 1) % p
+    return w * step + ns2 * sup_l
+
+
 def _kernel(
-    xr_hbm, xi_hbm,          # (A, P, n_shift) ANY/HBM, P even — pre-shifted
-    f2d_ref,                 # (phases, block) VMEM
-    dblk_h_ref, dblk_l_ref,  # (2*block, 2*block) bf16 hi/lo VMEM
-    rampr_ref, rampi_ref,    # (TILE_K, block) VMEM
-    or_ref, oi_ref,          # out tiles (2, block, TILE_K) VMEM
-    xbr, xbi,                # scratch (2 slots, A, 2, NS2*L) VMEM
-    sems,                    # DMA semaphores (2 slots, 2, A)
-    *,
+    *refs,                   # see layout below
     block: int, step: int, phases: int,
-    tile_k: int, sup_l: int, sup_a: int, ns2: int,
+    tile_k: int, sup_l: int, sup_a: int, ns2: int, n_copies: int,
 ):
+    # refs: xr copies [0..n_copies), xi copies, f2d (phases, block),
+    # dblk hi/lo (2*block, 2*block), ramp re/im (TILE_K, block),
+    # out re/im (2, TILE_K, block), scratch xbr/xbi (2, A, 2, NS2*L), sems.
+    # Each copy c is the input advanced by c*step samples: in-kernel DMA
+    # lane offsets must be 128-aligned, and only every
+    # (128/gcd(step,128))-th shift is — the rest live in the copies.
+    xr_c = refs[:n_copies]
+    xi_c = refs[n_copies: 2 * n_copies]
+    (f2d_ref, dblk_h_ref, dblk_l_ref, rampr_ref, rampi_ref,
+     or_ref, oi_ref, xbr, xbi, sems) = refs[2 * n_copies:]
+
     t = pl.program_id(1)
     pg = pl.program_id(0)   # polarization pair (HBM sublane tiling is 2)
     n_t = pl.num_programs(1)
@@ -87,12 +109,13 @@ def _kernel(
     nxt = jax.lax.rem(t + 1, 2)
 
     def dma(step_idx, slot_idx, a, c):
-        hbm, buf = ((xr_hbm, xbr), (xi_hbm, xbi))[c]
-        # base is a multiple of L (lane-tiling aligned); the a*step shift
-        # lives in the pre-staged copy a
-        base = step_idx * tile_k * step
+        hbm, buf = ((xr_c[a % n_copies], xbr), (xi_c[a % n_copies], xbi))[c]
+        # base is a multiple of L (lane-tiling aligned); the aligned part
+        # of the a*step shift rides the DMA offset, the residue lives in
+        # the pre-staged copy (a % n_copies)
+        base = step_idx * tile_k * step + (a - a % n_copies) * step
         return pltpu.make_async_copy(
-            hbm.at[a, pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
+            hbm.at[pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
             buf.at[slot_idx, a],
             sems.at[slot_idx, c, a],
         )
@@ -163,24 +186,29 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
     sup_l = math.lcm(step, block)
     sup_a = sup_l // step
     ns2 = tile_k // sup_a + -(-fl // sup_l) + 1
-    tail = (sup_a - 1) * step + ns2 * sup_l
+    tail = _tail(step, sup_a, ns2, sup_l)
     nblocks_pad = (n_pad - tail) // (tile_k * step) + 1
 
-    # pre-stage A shifted copies so every in-kernel DMA offset is a multiple
-    # of L (and therefore of the 128-lane tiling) — one extra HBM pass
-    n_shift = (nblocks_pad - 1) * tile_k * step + ns2 * sup_l
-    xr_s = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(xr, a * step, n_shift, axis=1)
-        for a in range(sup_a)
-    ])
-    xi_s = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(xi, a * step, n_shift, axis=1)
-        for a in range(sup_a)
-    ])
+    # pre-stage only the shifts the DMA engine cannot address: lane offsets
+    # must be 128-aligned, so shifts a*step with the same residue mod
+    # (128/gcd(step,128)) share one staged copy (copy 0 is the input
+    # itself). The round-2 kernel staged all A shifts — for the low config
+    # that stack alone cost ~1.1 ms, more than the kernel's own math.
+    n_copies = _n_copies(step, sup_a)
+    n_shift = (nblocks_pad - 1) * tile_k * step + ns2 * sup_l \
+        + (sup_a - 1 - (sup_a - 1) % n_copies) * step
+    xr_c, xi_c = [xr], [xi]  # copy 0 is the input itself — no staging copy
+    for c in range(1, n_copies):
+        xr_c.append(
+            jax.lax.dynamic_slice_in_dim(xr, c * step, n_shift, axis=1)
+        )
+        xi_c.append(
+            jax.lax.dynamic_slice_in_dim(xi, c * step, n_shift, axis=1)
+        )
 
     kern = functools.partial(
         _kernel, block=block, step=step, phases=phases,
-        tile_k=tile_k, sup_l=sup_l, sup_a=sup_a, ns2=ns2,
+        tile_k=tile_k, sup_l=sup_l, sup_a=sup_a, ns2=ns2, n_copies=n_copies,
     )
     grid = (n_pol // 2, nblocks_pad)
     out_shape = [
@@ -191,8 +219,9 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY)
+            for _ in range(2 * n_copies)
+        ] + [
             pl.BlockSpec((phases, block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
@@ -217,7 +246,7 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
             pltpu.SemaphoreType.DMA((2, 2, sup_a)),
         ],
         interpret=interpret,
-    )(xr_s, xi_s, f2d, dblk_h, dblk_l, rampr, rampi)
+    )(*xr_c, *xi_c, f2d, dblk_h, dblk_l, rampr, rampi)
 
 
 def polyphase_analysis_fused(
@@ -262,7 +291,7 @@ def polyphase_analysis_fused(
     pol_pad = n_pol % 2
     nblocks = (n_dat - fl) // step
     nblocks_pad = max(1, -(-nblocks // tile_k))
-    tail = (sup_a - 1) * step + ns2 * sup_l
+    tail = _tail(step, sup_a, ns2, sup_l)
     n_pad = (nblocks_pad - 1) * tile_k * step + tail
     pad = max(0, n_pad - n_dat)
     if pad > 0 or pol_pad:

@@ -94,8 +94,9 @@ def _dot_t_const_first(bh, bl, a):
 @functools.lru_cache(maxsize=None)
 def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
     """Host-side constants with the roll modulation and gain folded in:
-    (inner_r, inner_i) split-bf16 (2*n2, n2); (tw_r, tw_i) float32 (n1, n2);
-    (outer_r, outer_i) split-bf16 (2*n1, n1_keep)."""
+    inner split-bf16 (2*n2, 2*n2) = [inner_r | inner_i] (both output
+    components in one GEMM); (tw_r, tw_i) float32 (n2, n1);
+    outer split-bf16 (2*n1, 2*n1_keep) = [outer_r | outer_i]."""
     k1_lo = lo // n2
     n1_keep = (n - 2 * lo) // n2
 
@@ -125,12 +126,13 @@ def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
     outer_r = np.concatenate([np.real(d1), -np.imag(d1)], axis=0)
     outer_i = np.concatenate([np.imag(d1), np.real(d1)], axis=0)
 
+    # both output components ride one GEMM: N doubles, launches halve
+    inner = np.concatenate([inner_r, inner_i], axis=1)
+    outer = np.concatenate([outer_r, outer_i], axis=1)
     return (
-        cfft.split_bf16(inner_r),
-        cfft.split_bf16(inner_i),
+        cfft.split_bf16(inner.astype(np.float32)),
         (tw_r, tw_i),
-        cfft.split_bf16(outer_r),
-        cfft.split_bf16(outer_i),
+        cfft.split_bf16(outer.astype(np.float32)),
     )
 
 
@@ -151,17 +153,15 @@ def fused_big_ifft(
     n_pol, n_blocks, n_flat = flatr.shape
     assert n_flat == n
     n1_keep = (n - 2 * lo) // n2
-    (i_r, i_i, (tw_r, tw_i), o_r, o_i) = _constants(
-        n, n2, n1, lo, roll, gain
-    )
+    (i_b, (tw_r, tw_i), o_b) = _constants(n, n2, n1, lo, roll, gain)
 
-    # batch KB blocks per grid step: per-step fixed overhead and narrow-N
-    # GEMM launches would otherwise dominate (134 single-block steps ran as
-    # slow as the composed XLA epilogue)
+    # batch KB blocks per grid step and feed them to SHARED fat GEMMs:
+    # per-GEMM launch overhead dominated the round-2 kernel (48 skinny
+    # launches/step measured ~5x slower than the GEMM flops justify)
     kb = 1
     while (
         kb < 8
-        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 8 * 1024 * 1024
+        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 6 * 1024 * 1024
     ):
         kb *= 2
     b_pad = -(-n_blocks // kb) * kb
@@ -174,28 +174,36 @@ def fused_big_ifft(
         x3i = jnp.pad(x3i, pad)
 
     def kern(xr_ref, xi_ref,
-             i_rh, i_rl, i_ih, i_il, twr_ref, twi_ref,
-             o_rh, o_rl, o_ih, o_il,
-             er_ref, ei_ref, or_ref, oi_ref):
-        # every GEMM keeps the WIDE axis (n1=512 / n1_keep) in the lanes —
-        # k2 (=96 at the low geometry) as the output lane dim starved the
-        # MXU; k2 rides the sublanes throughout instead, and the caller
-        # transposes the small kept tiles once in XLA
-        tr, ti = twr_ref[:], twi_ref[:]                 # (n2, n1)
+             i_bh, i_bl, twr_ref, twi_ref, o_bh, o_bl,
+             er_ref, ei_ref, out_ref):
+        # every GEMM keeps the WIDE axis in the lanes; the kb blocks ride
+        # side-by-side in the lanes of ONE inner GEMM (lane-concat at n1
+        # offsets is aligned and free), and both output components come out
+        # of each GEMM via the [C_r | C_i] combined constants
+        re_all = jnp.concatenate(
+            [xr_ref[0, b] for b in range(kb)], axis=1)   # (n2, kb*n1)
+        im_all = jnp.concatenate(
+            [xi_ref[0, b] for b in range(kb)], axis=1)
+        if has_elem:
+            er, ei = er_ref[:], ei_ref[:]                # (n2, kb*n1) tiled
+            re_all, im_all = (
+                re_all * er - im_all * ei,
+                re_all * ei + im_all * er,
+            )
+        cat = jnp.concatenate([re_all, im_all], axis=0)  # (2*n2, kb*n1)
+        b_all = _dot_t_const_first(i_bh[:], i_bl[:], cat)  # (2*n2, kb*n1)
+        br = b_all[:n2]
+        bi = b_all[n2:]
+        tr, ti = twr_ref[:], twi_ref[:]                  # (n2, kb*n1) tiled
+        cr = br * tr - bi * ti
+        ci = br * ti + bi * tr
         for b in range(kb):
-            xr = xr_ref[0, b]
-            xi = xi_ref[0, b]
-            if has_elem:
-                er, ei = er_ref[:], ei_ref[:]
-                xr, xi = xr * er - xi * ei, xr * ei + xi * er
-            cat = jnp.concatenate([xr, xi], axis=0)     # (2*n2, n1)
-            br = _dot_t_const_first(i_rh[:], i_rl[:], cat)  # (n2, n1)
-            bi = _dot_t_const_first(i_ih[:], i_il[:], cat)
-            cr = br * tr - bi * ti                      # (n2, n1)
-            ci = br * ti + bi * tr
-            cat2 = jnp.concatenate([cr, ci], axis=1)    # (n2, 2*n1)
-            or_ref[0, b] = cfft.kernel_dot(cat2, o_rh[:], o_rl[:])
-            oi_ref[0, b] = cfft.kernel_dot(cat2, o_ih[:], o_il[:])
+            cat2 = jnp.concatenate(
+                [cr[:, b * n1:(b + 1) * n1], ci[:, b * n1:(b + 1) * n1]],
+                axis=1,
+            )                                            # (n2, 2*n1)
+            # (n2, 2*n1_keep): [kept_r | kept_i]; caller splits in XLA
+            out_ref[0, b] = cfft.kernel_dot(cat2, o_bh[:], o_bl[:])
 
     grid = (n_pol, b_pad // kb)
     spec_in = pl.BlockSpec((1, kb, n2, n1), lambda p, b: (p, b, 0, 0),
@@ -206,20 +214,19 @@ def fused_big_ifft(
                             memory_space=pltpu.VMEM)
 
     if has_elem:
-        e_r = elem_r.reshape(n2, n1)
-        e_i = elem_i.reshape(n2, n1)
+        e_r = jnp.tile(elem_r.reshape(n2, n1), (1, kb))
+        e_i = jnp.tile(elem_i.reshape(n2, n1), (1, kb))
     else:
         e_r = jnp.ones((8, 128), jnp.float32)
         e_i = jnp.zeros((8, 128), jnp.float32)
 
-    const_args = [
-        i_r[0], i_r[1], i_i[0], i_i[1], tw_r, tw_i,
-        o_r[0], o_r[1], o_i[0], o_i[1],
-    ]
+    tw_rt = np.tile(tw_r, (1, kb))
+    tw_it = np.tile(tw_i, (1, kb))
+    const_args = [i_b[0], i_b[1], tw_rt, tw_it, o_b[0], o_b[1]]
     const_args = [jnp.asarray(m) for m in const_args]
     const_specs = [cspec(m.shape) for m in const_args]
 
-    outr, outi = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=(
@@ -227,22 +234,21 @@ def fused_big_ifft(
             + [cspec(e_r.shape), cspec(e_i.shape)]
         ),
         out_specs=[
-            pl.BlockSpec((1, kb, n2, n1_keep), lambda p, b: (p, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, n2, n1_keep), lambda p, b: (p, b, 0, 0),
+            pl.BlockSpec((1, kb, n2, 2 * n1_keep), lambda p, b: (p, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad, n2, 2 * n1_keep), jnp.float32),
         ],
         interpret=interpret,
-    )(x3r, x3i, *const_args, e_r, e_i)
+    )(x3r, x3i, *const_args, e_r, e_i)[0]
 
-    # kept samples are t = k2 + n2*k1: transpose the small (n2, n1_keep)
-    # tiles to [k1, k2] order (one cheap XLA pass over the kept output only)
+    # kept samples are t = k2 + n2*k1: split components and transpose the
+    # small (n2, n1_keep) tiles to [k1, k2] order (one cheap XLA pass over
+    # the kept output only)
     keep = n1_keep * n2
+    out = out[:, :n_blocks]
     return (
-        jnp.swapaxes(outr[:, :n_blocks], -1, -2).reshape(n_pol, n_blocks, keep),
-        jnp.swapaxes(outi[:, :n_blocks], -1, -2).reshape(n_pol, n_blocks, keep),
+        jnp.swapaxes(out[..., :n1_keep], -1, -2).reshape(n_pol, n_blocks, keep),
+        jnp.swapaxes(out[..., n1_keep:], -1, -2).reshape(n_pol, n_blocks, keep),
     )

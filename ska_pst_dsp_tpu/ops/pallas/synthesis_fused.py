@@ -105,9 +105,8 @@ def _kernel_dot_t(a, bh, bl):
 def _kernel(
     xr_hbm, xi_hbm,          # (P, T_pad, C) ANY/HBM, time-major
     taper_ref,               # (L, 1) VMEM
-    dselr_h, dselr_l,        # (2L, fnw) bf16 hi/lo: [[Dr],[-Di]] cols kept
-    dseli_h, dseli_l,        # (2L, fnw) bf16 hi/lo: [[Di],[ Dr]] cols kept
-    or_ref, oi_ref,          # out (1, KB, C_TILE, fnw) VMEM
+    dsel_h, dsel_l,          # (2L, 2*fnw) bf16 hi/lo: [[Dr|Di],[-Di|Dr]]
+    out_ref,                 # out (1, KB, C_TILE, 2*fnw) VMEM
     bufr, bufi,              # scratch (KB, L, C_TILE) VMEM
     sems,                    # DMA semaphores (2, KB)
     *,
@@ -133,27 +132,36 @@ def _kernel(
         cp.wait()
 
     taper = taper_ref[:]  # (L, 1) broadcasts along channels
-    for b in range(kb):
-        cat = jnp.concatenate(
-            [bufr[b] * taper, bufi[b] * taper], axis=0
-        )  # (2L, C_TILE)
-        or_ref[0, b] = _kernel_dot_t(cat, dselr_h[:], dselr_l[:])
-        oi_ref[0, b] = _kernel_dot_t(cat, dseli_h[:], dseli_l[:])
+    # ONE fat GEMM per grid step: the kb blocks ride side-by-side in the
+    # lanes (c_tile-offset lane concat, aligned), and both output
+    # components come from the combined [D_r | D_i] constant — per-GEMM
+    # launch overhead dominated the round-2 kernel at 2*kb launches/step
+    cat = jnp.concatenate(
+        [
+            jnp.concatenate([bufr[b] * taper, bufi[b] * taper], axis=0)
+            for b in range(kb)
+        ],
+        axis=1,
+    )  # (2L, kb*C_TILE)
+    res = _kernel_dot_t(cat, dsel_h[:], dsel_l[:])  # (kb*C_TILE, 2*fnw)
+    out_ref[0] = res.reshape(kb, c_tile, 2 * fnw)
 
 
 @functools.lru_cache(maxsize=None)
 def _dsel_matrices(L: int, fnw: int, kpos: int, dr_key) -> Tuple[np.ndarray, ...]:
-    """(2L, fnw) DFT matrices with fftshift+keep as column selection and
-    deripple folded in: kept bin j is raw DFT bin (kpos + j) mod L."""
+    """(2L, 2*fnw) combined DFT matrix [D_r | D_i] with fftshift+keep as
+    column selection and deripple folded in: kept bin j is raw DFT bin
+    (kpos + j) mod L; one GEMM produces both output components."""
     dr = np.asarray(dr_key, dtype=np.float64)
     t = np.arange(L)[:, None]
     k = (kpos + np.arange(fnw))[None, :] % L
     ang = -2.0 * np.pi * ((t * k) % L) / L
     c = np.cos(ang) * dr
     s = np.sin(ang) * dr
-    dsel_r = np.concatenate([c, -s], axis=0).astype(np.float32)
-    dsel_i = np.concatenate([s, c], axis=0).astype(np.float32)
-    return (*cfft.split_bf16(dsel_r), *cfft.split_bf16(dsel_i))
+    dsel_r = np.concatenate([c, -s], axis=0)
+    dsel_i = np.concatenate([s, c], axis=0)
+    dsel = np.concatenate([dsel_r, dsel_i], axis=1).astype(np.float32)
+    return cfft.split_bf16(dsel)
 
 
 @functools.partial(
@@ -215,13 +223,14 @@ def _fused_synthesis(
     )
     grid = (n_pol, n_chan // c_tile, n_bt)
     mat_spec = pl.BlockSpec(
-        (2 * L, fnw), lambda p, c, t: (0, 0), memory_space=pltpu.VMEM
+        (2 * L, 2 * fnw), lambda p, c, t: (0, 0), memory_space=pltpu.VMEM
     )
     out_shape = [
-        jax.ShapeDtypeStruct((n_pol, n_bt * kb, n_chan, fnw), jnp.float32),
-        jax.ShapeDtypeStruct((n_pol, n_bt * kb, n_chan, fnw), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (n_pol, n_bt * kb, n_chan, 2 * fnw), jnp.float32
+        ),
     ]
-    fnr, fni = pl.pallas_call(
+    fn_both = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -229,13 +238,13 @@ def _fused_synthesis(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((L, 1), lambda p, c, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            mat_spec, mat_spec, mat_spec, mat_spec,
+            mat_spec, mat_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, kb, c_tile, fnw), lambda p, c, t: (p, t, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, c_tile, fnw), lambda p, c, t: (p, t, c, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, kb, c_tile, 2 * fnw), lambda p, c, t: (p, t, c, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=out_shape,
         scratch_shapes=[
@@ -244,7 +253,9 @@ def _fused_synthesis(
             pltpu.SemaphoreType.DMA((2, kb)),
         ],
         interpret=interpret,
-    )(xs[0], xs[1], t_taper[:, None], *dsel)
+    )(xs[0], xs[1], t_taper[:, None], *dsel)[0]
+    fnr = fn_both[..., :fnw]
+    fni = fn_both[..., fnw:]
 
     out_shape = (n_pol, 1, n_blocks * geom.output_keep)
     lo = geom.output_overlap

@@ -224,3 +224,86 @@ class TestTimeMajorHandoff:
         )
         ref = np.asarray(r2r) + 1j * np.asarray(r2i)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestFusedPaddedAnalysis:
+    """Fused padded fold (+ reversal-free FFT phase identity) vs the
+    composed padded kernel. Geometry: block=512, OS 4/3 -> step=384
+    (step % 128 == 0, the kernel's applicability condition; mid production
+    is 4096/3584 with the same structure)."""
+
+    BLOCK, OS = 512, Rational(4, 3)
+
+    @pytest.fixture(scope="class")
+    def filt(self):
+        return np.asarray(fir.design_pfb_fir_filter(self.BLOCK, self.OS, 4))
+
+    def test_matches_reference(self, filt):
+        from ska_pst_dsp_tpu.ops import polyphase_analysis_padded
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+
+        x = _noise(2, 40_000, seed=3)
+        ref = np.asarray(
+            polyphase_analysis_padded(x, filt, self.BLOCK, self.OS)
+        )
+        got = np.asarray(
+            polyphase_analysis_padded_fused(
+                x, filt, self.BLOCK, self.OS, interpret=True
+            )
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_tuple_api_time_major_odd_pol(self, filt):
+        from ska_pst_dsp_tpu.ops import polyphase_analysis_padded
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+
+        x = _noise(3, 30_000, seed=4)
+        ref = np.asarray(
+            polyphase_analysis_padded(x, filt, self.BLOCK, self.OS)
+        )
+        rr, ri = polyphase_analysis_padded_fused(
+            (np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)),
+            filt, self.BLOCK, self.OS, time_major=True, interpret=True,
+        )
+        got = (np.asarray(rr) + 1j * np.asarray(ri)).transpose(0, 2, 1)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_block0_streaming_ramp(self, filt):
+        from ska_pst_dsp_tpu.ops import polyphase_analysis_padded
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+
+        x = _noise(2, 25_000, seed=5)
+        ref = np.asarray(
+            polyphase_analysis_padded(
+                x, filt, self.BLOCK, self.OS, block0=8, apply_delay=False
+            )
+        )
+        got = np.asarray(
+            polyphase_analysis_padded_fused(
+                x, filt, self.BLOCK, self.OS, block0=8, apply_delay=False,
+                interpret=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_rejects_unaligned_step(self, filt):
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+
+        with pytest.raises(ValueError, match="step"):
+            polyphase_analysis_padded_fused(
+                _noise(2, 10_000), filt[:3072], 256, Rational(4, 3),
+                interpret=True,
+            )

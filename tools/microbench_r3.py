@@ -182,5 +182,102 @@ def main():
         cfft._KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def extra_experiments():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ska_pst_dsp_tpu.ops import cfft
+    from ska_pst_dsp_tpu.ops.pallas import analysis_fused
+    from ska_pst_dsp_tpu.ops.pallas.ifft_fused import fused_big_ifft, plan_ifft
+    from ska_pst_dsp_tpu.design import fir
+    from ska_pst_dsp_tpu.utils import geometry
+    from ska_pst_dsp_tpu.utils.rational import Rational
+
+    which = set(sys.argv[1:]) or None
+
+    def want(name):
+        return which is None or name in which
+
+    rng = np.random.default_rng(0)
+    os_f = Rational(4, 3)
+    n_chan, L, ov = 256, 256, 48
+
+    # pipeline floor: same in/out block shapes as the fused IFFT, compute
+    # replaced by one add — measures Pallas per-step + DMA floor
+    if want("pipe_floor"):
+        geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+        nb, n_big = 67, geom.output_fft_length
+        n2, n1, kb, keep2 = 96, 512, 4, 640
+        fr = jax.device_put(rng.standard_normal((2, 68, n2, n1)).astype(np.float32))
+        fi = jax.device_put(rng.standard_normal((2, 68, n2, n1)).astype(np.float32))
+
+        def kern(xr, xi, o_ref):
+            for b in range(kb):
+                o_ref[0, b] = jnp.concatenate(
+                    [xr[0, b] + xi[0, b], xr[0, b, :, : keep2 - n1]], axis=1
+                )
+
+        @jax.jit
+        def run(a, b):
+            return pl.pallas_call(
+                kern,
+                grid=(2, 17),
+                in_specs=[
+                    pl.BlockSpec((1, kb, n2, n1), lambda p, t: (p, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, kb, n2, n1), lambda p, t: (p, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, kb, n2, keep2), lambda p, t: (p, t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[jax.ShapeDtypeStruct((2, 68, n2, keep2), jnp.float32)],
+            )(a, b)[0]
+
+        report("pipe_floor_ifft_shape", timeit(run, (fr, fi)))
+
+    if want("ifft_prec"):
+        jax.clear_caches()
+        cfft._PRECISION = None
+        cfft._KERNEL_PRECISION = None
+        geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+        nb, n_big = 67, geom.output_fft_length
+        n2, n1 = plan_ifft(n_big, geom.output_overlap)
+        fr = jax.device_put(rng.standard_normal((2, nb, n_big)).astype(np.float32))
+        fi = jax.device_put(rng.standard_normal((2, nb, n_big)).astype(np.float32))
+        ms = timeit(
+            lambda a, b: fused_big_ifft(
+                a, b, None, None,
+                shape_key=(n_big, n2, n1, geom.output_overlap,
+                           geom.fn_width // 2, 0.75),
+                has_elem=False,
+            ),
+            (fr, fi),
+        )
+        report("ifft_prec_default", ms)
+        jax.clear_caches()
+        cfft._PRECISION = jax.lax.Precision.HIGH
+        cfft._KERNEL_PRECISION = jax.lax.Precision.HIGHEST
+
+    if want("analysis_big_tile"):
+        analysis_fused._SPAN_BUDGET = 4 * 1024 * 1024
+        filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+        xr = jax.device_put(rng.standard_normal((2, 2**21)).astype(np.float32))
+        xi = jax.device_put(rng.standard_normal((2, 2**21)).astype(np.float32))
+        ms = timeit(
+            lambda a, b: analysis_fused.polyphase_analysis_fused(
+                (a, b), filt, n_chan, os_f, time_major=True
+            ),
+            (xr, xi),
+        )
+        report("analysis_tile_big", ms,
+               {"tile_k": analysis_fused._plan(256, 192, 3328, 4)[0]})
+
+
 if __name__ == "__main__":
-    main()
+    if "extra" in sys.argv:
+        extra_experiments()
+    else:
+        main()
