@@ -22,15 +22,17 @@ Roofline (the BASELINE north-star accounting):
   * pct_sol / mxu_util — achieved fraction of the memory-bound SoL, and the
     achieved fraction of MXU peak for the executed matmul flops.
 
-Measurement: the forward step is chained ``reps`` times inside one jitted
-``lax.scan`` whose carry creates a data dependency between iterations (so
-XLA cannot hoist or elide any of them), and only ONE scalar leaves the
-device — full-array transfers over the tunnelled TPU would swamp the
-measurement by 100x.
+Measurement: a host loop enqueues ``reps`` jitted steps whose scalar carry
+creates a data dependency between iterations (so the device runs them
+serially and XLA cannot elide any), and only ONE scalar leaves the device
+at the end — full-array transfers over the tunnelled TPU would swamp the
+measurement by 100x (see _chain_timer for why not lax.scan).
 
-On TPU both stages run fused Pallas kernels (ops/pallas/analysis_fused,
-ops/pallas/synthesis_fused — frame/taper/DFT/keep/deripple frontend plus
-the four-step IFFT epilogue with roll/taper/scale folded into constants).
+On TPU both stages run fused Pallas kernels (ops/pallas/analysis_fused /
+analysis_padded_fused, ops/pallas/synthesis_fused — frame/taper/DFT/keep/
+deripple frontend plus the fused IFFT epilogue with roll/taper/scale folded
+into constants; mid's 1.8M-point IFFT runs the out-of-core two-kernel path,
+ops/pallas/ifft_big).
 """
 
 import json
@@ -112,26 +114,38 @@ def _roofline(name, msps):
 
 
 def _chain_timer(forward, args, reps):
+    """Time ``forward`` with a data dependency between iterations so the
+    device executes every repetition serially and XLA cannot elide any of
+    them: each step's first input is perturbed by the previous step's
+    scalar carry (``x + c*0``), the host loop enqueues all ``reps`` steps
+    asynchronously, and only ONE scalar sync crosses the tunnel at the end.
+
+    (A ``lax.scan`` harness is the obvious alternative but multiplies
+    Mosaic kernel compile time ~50x on the remote-compile tunnel — measured
+    291 s for scan(5) vs 6 s for the bare step — and de-optimizes the loop
+    body; the host-loop carry gives the same elision guarantee for one
+    compile.)"""
     import jax
     import jax.numpy as jnp
 
-    def chained(*a):
-        def body(c, _):
-            o = forward(*(x + c * 0 if i == 0 else x for i, x in enumerate(a)))
-            s = sum(map(jnp.sum, o))
-            return c + s * 1e-30, s
+    # the carry is ADDED to the input (not multiplied by zero, which XLA's
+    # algebraic simplifier would fold away, severing the dependency): c
+    # stays ~1e-27 so x + c == x exactly in fp32, but XLA cannot prove that
+    @jax.jit
+    def step(c, *a):
+        o = forward(*(x + c if i == 0 else x for i, x in enumerate(a)))
+        return c + sum(map(jnp.sum, o)) * 1e-30
 
-        c, ss = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-        return ss.sum()
-
-    ch = jax.jit(chained)
-    float(ch(*args))  # compile + warm
+    c = step(jnp.float32(0), *args)
+    float(c)  # compile + warm; value fetch forces real completion
     t0 = time.perf_counter()
-    float(ch(*args))  # one scalar crosses the tunnel
+    for _ in range(reps):
+        c = step(c, *args)
+    float(c)  # one value fetch crosses the tunnel, transitively waits all
     return (time.perf_counter() - t0) / reps
 
 
-def bench_low(n_dat=2**21, reps=50):
+def bench_low(n_dat=2**22, reps=100):
     import jax
     from ska_pst_dsp_tpu.design import fir
     from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
@@ -158,12 +172,17 @@ def bench_low(n_dat=2**21, reps=50):
     if on_tpu:
         # time-major handoff between the fused kernels: the analysis writes
         # its native (P, T, C) layout and the synthesis consumes it directly
-        # — two full-stream transposes never happen
+        # (two full-stream transposes never happen); keep_padding/valid_len
+        # hand the kernel-padded stream over without an inter-stage slice
+        # copy
         def forward(a, b):
-            cr, ci = analysis((a, b), filt, n_chan, os_f, time_major=True)
+            (cr, ci), nb = analysis(
+                (a, b), filt, n_chan, os_f, time_major=True,
+                keep_padding=True,
+            )
             return synthesis(
                 (cr, ci), L, os_f, input_overlap=ov, deripple_coeff=filt,
-                temporal_taper="tukey", time_major_in=True,
+                temporal_taper="tukey", time_major_in=True, valid_len=nb,
             )
     else:
         def forward(a, b):

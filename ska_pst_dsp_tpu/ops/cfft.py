@@ -86,6 +86,59 @@ def split_bf16(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     return hi, lo
 
+
+def karatsuba_consts(dr: np.ndarray, di: np.ndarray):
+    """Host: split-bf16 triple (Dr, Di, Dr+Di) for :func:`kar_dot` — the
+    3-multiplication complex GEMM. The (2n x 2n) block-matrix form executes
+    4 real n^2 GEMMs per complex product; Karatsuba needs 3:
+
+        t1 = Ar@Dr,  t2 = Ai@Di,  t3 = (Ar+Ai)@(Dr+Di)
+        Re = t1 - t2,  Im = t3 - t1 - t2
+
+    25% fewer MXU flops at every precision scheme. The t3 cancellation
+    costs ~1 bit of the 2^-21 bf16x3 error — irrelevant against the
+    -60 dB purity floor."""
+    dr = np.asarray(dr, dtype=np.float32)
+    di = np.asarray(di, dtype=np.float32)
+    return split_bf16(dr), split_bf16(di), split_bf16(dr + di)
+
+
+def _dot1(a, bh, bl, dn, const_first=False):
+    """One fp32-class GEMM against a pre-split constant with explicit
+    dimension_numbers (bf16x3 at HIGH, single dot at HIGHEST/bare)."""
+    def dg(x, y):
+        ops = (y, x) if const_first else (x, y)
+        return jax.lax.dot_general(
+            ops[0], ops[1], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+
+    if _PRECISION is jax.lax.Precision.HIGHEST:
+        b = bh.astype(jnp.float32) + bl.astype(jnp.float32)
+        ops = (b, a) if const_first else (a, b)
+        return jax.lax.dot_general(
+            ops[0], ops[1], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if _PRECISION is None:
+        return dg(a.astype(jnp.bfloat16), bh)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dg(ah, bh) + dg(ah, bl) + dg(al, bh)
+
+
+def kar_dot(ar, ai, consts, dn, const_first=False):
+    """3-multiplication complex GEMM (see :func:`karatsuba_consts`):
+    complex data (ar, ai) x complex constant (Dr + i Di) -> (Re, Im).
+    ``dn`` are the dimension_numbers of each underlying real GEMM;
+    ``const_first`` makes the constant the LEFT operand."""
+    (c1h, c1l), (c2h, c2l), (c3h, c3l) = consts
+    t1 = _dot1(ar, c1h, c1l, dn, const_first)
+    t2 = _dot1(ai, c2h, c2l, dn, const_first)
+    t3 = _dot1(ar + ai, c3h, c3l, dn, const_first)
+    return t1 - t2, t3 - t1 - t2
+
 # Which lowering to use: the matmul path is the TPU-native implementation
 # (this environment's TPU backend has no XLA FFT op); CPU uses the native
 # complex FFT, which is faster and exact. "auto" picks per backend at trace
@@ -146,30 +199,48 @@ def _twiddle(n1: int, n2: int, n: int, inverse: bool) -> Tuple[Array, Array]:
     return jnp.cos(ang), jnp.sin(ang)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_parts(n: int, inverse: bool):
+    """(Dr, Di, Dr+Di) fp32 for the 3-multiplication complex DFT matmul
+    (see :func:`karatsuba_consts` — XLA-level variant, unsplit)."""
+    j, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    sign = 1.0 if inverse else -1.0
+    ang = sign * 2.0 * np.pi * ((j * k) % n) / n
+    dr = np.cos(ang).astype(np.float32)
+    di = np.sin(ang).astype(np.float32)
+    return dr, di, (dr + di).astype(np.float32)
+
+
 def _base_fft_last(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
     n = xr.shape[-1]
-    d = jnp.asarray(_dft_block(n, inverse))
-    a2 = jnp.concatenate([xr, xi], axis=-1)
-    out = jnp.matmul(a2, d, precision=_PRECISION)
-    return out[..., :n], out[..., n:]
+    dr, di, ds = (jnp.asarray(m) for m in _dft_parts(n, inverse))
+    t1 = jnp.matmul(xr, dr, precision=_PRECISION)
+    t2 = jnp.matmul(xi, di, precision=_PRECISION)
+    t3 = jnp.matmul(xr + xi, ds, precision=_PRECISION)
+    return t1 - t2, t3 - t1 - t2
 
 
 def _base_fft_axis2(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:
-    """DFT along axis -2 (length must be <= BASE) as one LEFT block-matmul:
-    [Br; Bi] = [[Dr, Di], [-Di, Dr]]^T @ [Ar; Ai] — contracting axis -2
-    directly, so the four-step driver never transposes operands."""
+    """DFT along axis -2 (length must be <= BASE) as LEFT matmuls
+    contracting axis -2 directly, so the four-step driver never transposes
+    operands; 3-multiplication complex scheme (karatsuba_consts)."""
     n = xr.shape[-2]
-    d = jnp.asarray(_dft_block(n, inverse))  # right-mult convention
-    a2 = jnp.concatenate([xr, xi], axis=-2)  # (..., 2n, m)
-    nb = a2.ndim - 2
-    # out[..., k, j] = sum_i d[i, k] * a2[..., i, j]  (d transposed == left)
-    out = jax.lax.dot_general(
-        a2, d,
-        dimension_numbers=(((nb,), (0,)), ((), ())),
-        precision=_PRECISION,
-    )  # (..., m, 2n): contracted axis replaced, d-dim appended last
-    out = jnp.swapaxes(out, -1, -2)
-    return out[..., :n, :], out[..., n:, :]
+    dr, di, ds = (jnp.asarray(m) for m in _dft_parts(n, inverse))
+    nb = xr.ndim - 2
+
+    def dg(x, d):
+        # out[..., j, k] = sum_i d[i, k] * x[..., i, j]
+        out = jax.lax.dot_general(
+            x, d,
+            dimension_numbers=(((nb,), (0,)), ((), ())),
+            precision=_PRECISION,
+        )  # (..., m, n): contracted axis replaced, d-dim appended last
+        return jnp.swapaxes(out, -1, -2)
+
+    t1 = dg(xr, dr)
+    t2 = dg(xi, di)
+    t3 = dg(xr + xi, ds)
+    return t1 - t2, t3 - t1 - t2
 
 
 def _fft_last(xr: Array, xi: Array, inverse: bool) -> Tuple[Array, Array]:

@@ -99,8 +99,9 @@ def _kernel(
     # (128/gcd(step,128))-th shift is — the rest live in the copies.
     xr_c = refs[:n_copies]
     xi_c = refs[n_copies: 2 * n_copies]
-    (f2d_ref, dblk_h_ref, dblk_l_ref, rampr_ref, rampi_ref,
-     or_ref, oi_ref, xbr, xbi, sems) = refs[2 * n_copies:]
+    (f2d_ref, drh_ref, drl_ref, dih_ref, dil_ref, dsh_ref, dsl_ref,
+     rampr_ref, rampi_ref, or_ref, oi_ref, xbr, xbi, sems) = \
+        refs[2 * n_copies:]
 
     t = pl.program_id(1)
     pg = pl.program_id(0)   # polarization pair (HBM sublane tiling is 2)
@@ -159,12 +160,19 @@ def _kernel(
     fr = fold(xbr)
     fi = fold(xbi)
 
-    cat = jnp.concatenate([fr, fi], axis=1)  # (2*TILE_K, 2*block)
     # bare-bf16 MXU passes give ~3e-3 relative error — far above the −60 dB
-    # purity floor — so the DFT GEMM runs split-bf16x3 (see cfft.kernel_dot)
-    spec = cfft.kernel_dot(cat, dblk_h_ref[:], dblk_l_ref[:])
-    sr = (spec[:, :block] * block).reshape(2, tile_k, block)
-    si = (spec[:, block:] * block).reshape(2, tile_k, block)
+    # purity floor — so the DFT GEMMs run split-bf16x3 in the Karatsuba
+    # 3-multiplication complex form (cfft.kar_dot): 25% fewer MXU flops
+    # than the (2n x 2n) block-matrix GEMM
+    consts = (
+        (drh_ref[:], drl_ref[:]),
+        (dih_ref[:], dil_ref[:]),
+        (dsh_ref[:], dsl_ref[:]),
+    )
+    dn = (((1,), (0,)), ((), ()))
+    re, im = cfft.kar_dot(fr, fi, consts, dn)
+    sr = (re * block).reshape(2, tile_k, block)
+    si = (im * block).reshape(2, tile_k, block)
 
     rr = rampr_ref[:]
     ri = rampi_ref[:]
@@ -178,7 +186,7 @@ def _kernel(
 @functools.partial(
     jax.jit, static_argnames=("block", "step", "fl", "interpret")
 )
-def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
+def _fused_call(xr, xi, f2d, dkar, rampr, rampi, *, block, step,
                 fl, interpret=False):
     n_pol, n_pad = xr.shape
     phases = fl // block
@@ -224,10 +232,11 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
         ] + [
             pl.BlockSpec((phases, block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * block, 2 * block), lambda p, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((block, block), lambda p, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(6)
+        ] + [
             pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k, block), lambda p, t: (0, 0),
@@ -246,7 +255,7 @@ def _fused_call(xr, xi, f2d, dblk_h, dblk_l, rampr, rampi, *, block, step,
             pltpu.SemaphoreType.DMA((2, 2, sup_a)),
         ],
         interpret=interpret,
-    )(*xr_c, *xi_c, f2d, dblk_h, dblk_l, rampr, rampi)
+    )(*xr_c, *xi_c, f2d, *dkar, rampr, rampi)
 
 
 def polyphase_analysis_fused(
@@ -257,6 +266,7 @@ def polyphase_analysis_fused(
     *,
     block0: int = 0,
     time_major: bool = False,
+    keep_padding: bool = False,
     interpret: bool = False,
 ):
     """Fused single-stage analysis PFB (drop-in for
@@ -264,7 +274,12 @@ def polyphase_analysis_fused(
 
     ``time_major=True`` returns (n_pol, nblocks, block) — the kernel's
     native write layout and exactly the input layout of the fused
-    synthesis, so a fused round trip skips two full-stream transposes."""
+    synthesis, so a fused round trip skips two full-stream transposes.
+
+    ``keep_padding=True`` (tuple + time_major only) returns
+    ``((outr, outi), nblocks)`` with the kernel's tail padding still in
+    place — hand the pair to ``polyphase_synthesis_fused(...,
+    valid_len=nblocks)`` and the inter-stage slice copy never happens."""
     os_factor = Rational.coerce(os_factor)
     if block % 128:
         raise ValueError("fused kernel requires block % 128 == 0")
@@ -300,17 +315,30 @@ def polyphase_analysis_fused(
     else:
         xr, xi = jnp.asarray(xr)[:, :n_pad], jnp.asarray(xi)[:, :n_pad]
 
-    dblk_h, dblk_l = cfft.split_bf16(cfft._dft_block(block, inverse=False))
+    dr, di, _ = cfft._dft_parts(block, inverse=False)
+    dkar = [
+        jnp.asarray(m)
+        for pair in cfft.karatsuba_consts(dr, di)
+        for m in pair
+    ]
     rr4, ri4 = _analysis._phase_ramp(block, step, nu, 0)
     rampr = np.tile(rr4, (tile_k // nu, 1))
     rampi = np.tile(ri4, (tile_k // nu, 1))
 
     outr, outi = _fused_call(
         xr, xi,
-        jnp.asarray(f2d), jnp.asarray(dblk_h), jnp.asarray(dblk_l),
+        jnp.asarray(f2d), tuple(dkar),
         jnp.asarray(rampr), jnp.asarray(rampi),
         block=block, step=step, fl=fl, interpret=interpret,
     )
+    if keep_padding:
+        if not (pair_in and time_major):
+            raise ValueError(
+                "keep_padding requires tuple input and time_major=True"
+            )
+        if pol_pad:
+            outr, outi = outr[:n_pol], outi[:n_pol]
+        return (outr, outi), nblocks
     outr = outr[:n_pol, :nblocks, :]
     outi = outi[:n_pol, :nblocks, :]
     if not time_major:

@@ -11,8 +11,9 @@ fold into ONE pallas_call that reads the input approximately once:
     single (rows, lcm(step, block)) VMEM view of ONE contiguous DMA span
     per grid step — no pre-staged shifted copies at all (contrast
     analysis_fused.py, whose low-config step=192 needs 2);
-  * fold terms whose block crosses a view row boundary split into two
-    lane-aligned pieces concatenated at a 128-aligned seam;
+  * scratch rows overlap by one block (row r covers
+    [r*sup_l, (r+1)*sup_l + block)), so every fold term sits whole inside
+    one row — no term ever crosses a row seam;
   * the reference's per-block reversal before the IFFT
     (polyphase_analysis_padded.m:138-142, oracle: g[..., ::-1] then ifft)
     NEVER happens: reverse-then-IFFT equals a forward FFT with a per-bin
@@ -46,7 +47,11 @@ _SPAN_BUDGET = 7 * 1024 * 1024
 
 def _plan(block: int, step: int, fl: int):
     """Choose (TILE_K, SUP_L, SUP_A, NROWS): outputs per grid step, view
-    row length, outputs per superblock, and span rows."""
+    row length, outputs per superblock, and span rows. Scratch rows are
+    SUP_L + block wide — consecutive rows OVERLAP by one block, so every
+    fold term x[k*step + m*block + j] sits whole inside one row (no
+    row-crossing concat, which Mosaic cannot lower for offset-mismatched
+    ref slices)."""
     sup_l = math.lcm(step, block)
     sup_a = sup_l // step
 
@@ -56,7 +61,9 @@ def _plan(block: int, step: int, fl: int):
     tile = sup_a
     while True:
         cand = tile * 2
-        if cand > 512 or 2 * 2 * 2 * nrows(cand) * sup_l * 4 > _SPAN_BUDGET:
+        if (cand > 512
+                or 2 * 2 * 2 * nrows(cand) * (sup_l + block) * 4
+                > _SPAN_BUDGET):
             break
         tile = cand
     return tile, sup_l, sup_a, nrows(tile)
@@ -66,8 +73,8 @@ def _kernel(
     x_r, x_i,                # (P, n_pad) ANY/HBM, P even, front fl zeros
     f2d_ref,                 # (phases, block) VMEM — REVERSED filter
     or_ref, oi_ref,          # out (2, TILE_K, block) VMEM
-    bufr, bufi,              # scratch (2 slots, 2, NROWS*SUP_L) VMEM
-    sems,                    # DMA semaphores (2 slots, 2)
+    bufr, bufi,              # scratch (2 slots, NROWS, 2, SUP_L+block) VMEM
+    sems,                    # DMA semaphores (2 slots, 2, NROWS)
     *,
     block: int, step: int, phases: int,
     tile_k: int, sup_l: int, sup_a: int, nrows: int,
@@ -78,57 +85,57 @@ def _kernel(
     slot = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
 
-    def dma(step_idx, slot_idx, c):
+    # one DMA per span row into 4D scratch — rows overlap by one block so
+    # no fold term ever crosses a row (see _plan). The fold below reads
+    # each term as a *ref slice* of a row, never materializing the whole
+    # span as a value (a single (2, NROWS*SUP_L) read blows Mosaic's
+    # scoped-vmem stack at mid geometry: 52 MB measured vs the 16 MB limit)
+    def dma(step_idx, slot_idx, c, r):
         hbm, buf = ((x_r, bufr), (x_i, bufi))[c]
         base = step_idx * tile_k * step  # multiple of sup_l (tile_k % sup_a == 0)
+        # row index leads the (pol, lane) tile dims: slicing one row must
+        # not cut the sublane tiling
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(2 * pg, 2), pl.ds(base, nrows * sup_l)],
-            buf.at[slot_idx],
-            sems.at[slot_idx, c],
+            hbm.at[pl.ds(2 * pg, 2), pl.ds(base + r * sup_l, sup_l + block)],
+            buf.at[slot_idx, r],
+            sems.at[slot_idx, c, r],
         )
+
+    def start(step_idx, slot_idx):
+        for c in range(2):
+            for r in range(nrows):
+                dma(step_idx, slot_idx, c, r).start()
 
     @pl.when(t == 0)
     def _():
-        dma(t, slot, 0).start()
-        dma(t, slot, 1).start()
+        start(t, slot)
 
     @pl.when(t + 1 < n_t)
     def _():
-        dma(t + 1, nxt, 0).start()
-        dma(t + 1, nxt, 1).start()
+        start(t + 1, nxt)
 
-    dma(t, slot, 0).wait()
-    dma(t, slot, 1).wait()
+    for c in range(2):
+        for r in range(nrows):
+            dma(t, slot, c, r).wait()
 
     ksup = tile_k // sup_a
-    f2d = f2d_ref[:]
 
-    def fold(buf):
-        view = buf[slot].reshape(2, nrows, sup_l)
-        accs = []
+    def fold(buf, out):
         for a in range(sup_a):
-            acc = jnp.zeros((2, ksup, block), jnp.float32)
+            acc = jnp.zeros((ksup, 2, block), jnp.float32)
             for m in range(phases):
                 off = a * step + m * block
                 r, l = divmod(off, sup_l)  # l is a multiple of 128
-                if l + block <= sup_l:
-                    piece = view[:, r: r + ksup, l: l + block]
-                else:
-                    w1 = sup_l - l  # multiple of 128: aligned concat seam
-                    piece = jnp.concatenate(
-                        [
-                            view[:, r: r + ksup, l:],
-                            view[:, r + 1: r + 1 + ksup, : block - w1],
-                        ],
-                        axis=-1,
-                    )
-                acc = acc + f2d[m] * piece
-            accs.append(acc)
-        # folded[p, k = K*sup_a + a] = accs[a][p, K]
-        return jnp.stack(accs, axis=2).reshape(2, tile_k, block)
+                # rows overlap by one block: l + block <= sup_l + block
+                acc = acc + f2d_ref[m] * buf[
+                    slot, r: r + ksup, :, l: l + block
+                ]
+            # out rows for this a are k = K*sup_a + a — unrolled row writes
+            for K in range(ksup):
+                out[:, K * sup_a + a] = acc[K]
 
-    or_ref[...] = fold(bufr)
-    oi_ref[...] = fold(bufi)
+    fold(bufr, or_ref)
+    fold(bufi, oi_ref)
 
 
 @functools.partial(
@@ -138,7 +145,13 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
     n_pol, n_pad = xr.shape
     phases = fl // block
     tile_k, sup_l, sup_a, nrows = _plan(block, step, fl)
-    nblocks_pad = (n_pad - (nrows * sup_l - tile_k * step)) // (tile_k * step)
+    # every fold row slice must stay inside the span
+    assert (sup_a - 1) * step + (phases - 1) * block <= (
+        nrows - tile_k // sup_a
+    ) * sup_l + sup_l, "span too short for fold terms"
+    nblocks_pad = (
+        n_pad - (nrows * sup_l + block - tile_k * step)
+    ) // (tile_k * step)
 
     kern = functools.partial(
         _kernel, block=block, step=step, phases=phases,
@@ -166,9 +179,9 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 2, nrows * sup_l), jnp.float32),
-            pltpu.VMEM((2, 2, nrows * sup_l), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, nrows, 2, sup_l + block), jnp.float32),
+            pltpu.VMEM((2, nrows, 2, sup_l + block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, nrows)),
         ],
         interpret=interpret,
     )(xr, xi, f2d)
@@ -258,7 +271,9 @@ def polyphase_analysis_padded_fused(
     nblocks = n_dat // step
     tile_k, sup_l, sup_a, nrows = _plan(block, step, fl)
     nblocks_pad = max(1, -(-nblocks // tile_k))
-    n_pad = nblocks_pad * tile_k * step + (nrows * sup_l - tile_k * step)
+    n_pad = nblocks_pad * tile_k * step + (
+        nrows * sup_l + block - tile_k * step
+    )
     pol_pad = n_pol % 2
     # front-pad fl zeros (the "padded" in padded analysis: block k reads
     # x[k*step - fl : k*step]) and tail-pad to the kernel's span geometry

@@ -1,0 +1,321 @@
+"""Out-of-core fused backward FFT epilogue for SKA-Mid-class geometries.
+
+The single-kernel epilogue (ops/pallas/ifft_fused.py) requires the whole
+N-point block in VMEM — impossible for mid's N = 1,835,008-point backward
+FFT (polyphase_synthesis.m:285 at 4096 channels), whose split-complex
+spectrum alone is 14.7 MB. This module runs the same mathematics as TWO
+pallas_calls with a three-factor decomposition N = (p*q) * n1, n2 = p*q:
+
+  time   t = k2 + n2*k1          (k2 in [0,n2), k1 in [0,n1))
+  freq   f = n1*i2 + i1          (i2 in [0,n2), i1 in [0,n1))
+  k2     = gamma + p*delta       (gamma in [0,p), delta in [0,q))
+  i2     = q*alpha + beta        (alpha in [0,p), beta in [0,q))
+
+  y[t] = (gain/N) * sum_f X[f] e^{+2pi i f t / N}
+       = sum_{i1} e^{2pi i i1 k1/n1} W[k2,i1] sum_{i2} X3[i2,i1] e^{2pi i i2 k2/n2}
+
+Kernel 1 (inner, grid over i1 column chunks x gamma):
+  * p-point DFT over alpha on the VPU (p <= 8: explicit FMA fan-in),
+  * per-gamma twiddle e^{2pi i beta gamma/n2},
+  * q-point DFT over beta as a sublane-contraction Karatsuba GEMM,
+  writing A[k2, i1] laid out as (gamma, i1, delta) — each GEMM's natural
+  (rows=i1-chunk, lanes=delta) tile, no transposes.
+
+Kernel 2 (outer, grid over gamma x delta chunks):
+  * the N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / N} computed in-kernel
+    from exact int32 phase products (i1*k2 < 2^24, so fp32 angles are
+    exact),
+  * the DC-centering roll by s (modulation theorem, as in ifft_fused):
+    e^{-2pi i s k2/N} rides a host-computed (p, q) constant (s*k2 overflows
+    int32 — host does the exact mod), e^{-2pi i s n2 k1/N} scales the outer
+    matrix's kept columns,
+  * the outer n1-point DFT over i1 as a sublane-contraction Karatsuba GEMM
+    against kept columns k1 in [lo/n2, n1 - lo/n2) only — the
+    overlap-save discard is never computed.
+
+The kept tiles (gamma, delta, k1) reorder to the time series with one XLA
+transpose over the kept output only. Spectral taper / dedispersion chirp
+fold into an optional per-bin complex constant applied in kernel 1.
+
+Memory per N-point block: read X twice, write A once, write the kept half
+once (~52 bytes/output sample) vs ~8 full-spectrum round trips for the
+composed four-step path.
+
+Differential-tested against the composed assemble+cfft.ifft path in
+tests/test_pallas.py. Reference: polyphase_synthesis.m:253-316.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cfft
+
+_CHUNK = 128  # i1 / delta chunk width (lanes)
+
+
+def plan_big_ifft(n: int, lo: int) -> Optional[Tuple[int, int, int]]:
+    """(p, q, n1) three-factor split usable by the out-of-core epilogue,
+    or None. Wants n1 <= 512 (n1 % 128 == 0), q <= 512 (q % 8 == 0),
+    p <= 8, lo % n2 == 0, and exact fp32 twiddle phases (n1*n2 < 2^24)."""
+    try:
+        n1 = cfft._split_factor(n)
+    except ValueError:
+        return None
+    n2 = n // n1
+    if n1 % 128 or n1 > 512 or (n - 2 * lo) <= 0 or lo % n2:
+        return None
+    if (n1 - 1) * (n2 - 1) >= 2 ** 24:
+        return None
+    # largest q <= 512 dividing n2 with p = n2/q <= 8 (q % 128 == 0: the
+    # delta axis chunks at _CHUNK lanes)
+    q = 0
+    for cand in range(min(512, n2), 0, -1):
+        if n2 % cand == 0 and n2 // cand <= 8 and cand % _CHUNK == 0:
+            q = cand
+            break
+    if not q or (n - 2 * lo) % n2:
+        return None
+    return n2 // q, q, n1
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
+               gain: float):
+    """Host constants: c7 (p, p) alpha-DFT; tw2 (p, q) beta twiddle;
+    Dq (q, q) Karatsuba; rollw (p, q) gain + k2-roll factor;
+    outer (n1, n1_keep) Karatsuba with the k1-roll factor folded."""
+    n2 = p * q
+    k1_lo = lo // n2
+    n1_keep = (n - 2 * lo) // n2
+
+    g, a = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+    c7 = np.exp(2j * np.pi * g * a / p)
+
+    g, b = np.meshgrid(np.arange(p), np.arange(q), indexing="ij")
+    tw2 = np.exp(2j * np.pi * g.astype(np.float64) * b / n2)
+
+    b, d = np.meshgrid(np.arange(q), np.arange(q), indexing="ij")
+    ang = 2.0 * np.pi * ((b * d) % q) / q
+    dq = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
+
+    g, d = np.meshgrid(np.arange(p), np.arange(q), indexing="ij")
+    k2 = g + p * d
+    rollw = (gain / n) * np.exp(-2j * np.pi * roll * k2.astype(np.float64) / n)
+
+    i1, j = np.meshgrid(np.arange(n1), np.arange(n1_keep), indexing="ij")
+    k1 = k1_lo + j
+    ang = 2.0 * np.pi * ((i1 * k1) % n1) / n1
+    uang = -2.0 * np.pi * roll * n2 * k1.astype(np.float64) / n
+    d1 = np.exp(1j * ang) * np.exp(1j * uang)
+    outer = cfft.karatsuba_consts(np.real(d1), np.imag(d1))
+
+    f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)  # noqa: E731
+    return (
+        f32(c7.real), f32(c7.imag),
+        f32(tw2.real), f32(tw2.imag),
+        dq,
+        f32(rollw.real), f32(rollw.imag),
+        outer,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_key", "has_elem", "interpret")
+)
+def fused_big_ifft_oc(
+    flatr, flati,              # (P, B, N) assembled (unrolled) spectra
+    elem_r=None, elem_i=None,  # optional (N,) pre-roll elementwise factor
+    *,
+    shape_key,                 # (n, p, q, n1, lo, roll, gain) — static
+    has_elem: bool = False,
+    interpret: bool = False,
+):
+    """Out-of-core fused IFFT(roll(X*elem, -roll))*gain, keeping
+    [lo, N-lo). Returns (P, B, keep) kept time series as (re, im)."""
+    n, p, q, n1, lo, roll, gain = shape_key
+    n2 = p * q
+    n_pol, n_blocks, n_flat = flatr.shape
+    assert n_flat == n
+    n1_keep = (n - 2 * lo) // n2
+    (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer) = _constants(
+        n, p, q, n1, lo, roll, gain
+    )
+    nchunk = n1 // _CHUNK
+
+    x3r = flatr.reshape(n_pol, n_blocks, n2, n1)
+    x3i = flati.reshape(n_pol, n_blocks, n2, n1)
+
+    # ---- kernel 1: inner n2-point DFT per i1 column --------------------
+    def kern1(xr_ref, xi_ref, c7r_ref, c7i_ref, tw2r_ref, tw2i_ref,
+              q1h, q1l, q2h, q2l, q3h, q3l, er_ref, ei_ref,
+              outr_ref, outi_ref):
+        g = pl.program_id(3)
+        # p-point DFT over alpha (rows q*alpha+beta of the (n2, C) tile)
+        ar = jnp.zeros((q, _CHUNK), jnp.float32)
+        ai = jnp.zeros((q, _CHUNK), jnp.float32)
+        for alpha in range(p):
+            xr_a = xr_ref[0, 0, alpha * q:(alpha + 1) * q, :]
+            xi_a = xi_ref[0, 0, alpha * q:(alpha + 1) * q, :]
+            if has_elem:
+                er_a = er_ref[0, alpha * q:(alpha + 1) * q, :]
+                ei_a = ei_ref[0, alpha * q:(alpha + 1) * q, :]
+                xr_a, xi_a = (
+                    xr_a * er_a - xi_a * ei_a,
+                    xr_a * ei_a + xi_a * er_a,
+                )
+            cr = c7r_ref[g, alpha]
+            ci = c7i_ref[g, alpha]
+            ar = ar + (cr * xr_a - ci * xi_a)
+            ai = ai + (cr * xi_a + ci * xr_a)
+        # beta twiddle e^{2pi i beta*gamma/n2} — (q, 1) broadcast
+        t2r = tw2r_ref[g].reshape(q, 1)
+        t2i = tw2i_ref[g].reshape(q, 1)
+        br = ar * t2r - ai * t2i
+        bi = ar * t2i + ai * t2r
+        # q-point DFT over beta: sublane contraction, Karatsuba
+        consts = ((q1h[:], q1l[:]), (q2h[:], q2l[:]), (q3h[:], q3l[:]))
+        dn = (((0,), (0,)), ((), ()))
+        yr, yi = cfft.kar_dot(br, bi, consts, dn)  # (CHUNK, q) = (i1, delta)
+        outr_ref[0, 0, 0] = yr
+        outi_ref[0, 0, 0] = yi
+
+    grid1 = (n_pol, n_blocks, nchunk, p)
+    in_x = pl.BlockSpec((1, 1, n2, _CHUNK), lambda pi, b, c, g: (pi, b, 0, c),
+                        memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda pi, b, c, g: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    if has_elem:
+        e_r = elem_r.reshape(n2, n1)
+        e_i = elem_i.reshape(n2, n1)
+    else:
+        e_r = jnp.ones((8, 128), jnp.float32)
+        e_i = jnp.zeros((8, 128), jnp.float32)
+    espec = (
+        pl.BlockSpec((1, n2, _CHUNK), lambda pi, b, c, g: (0, 0, c),
+                     memory_space=pltpu.VMEM)
+        if has_elem
+        else cspec((8, 128))
+    )
+    if has_elem:
+        e_r = e_r[None]
+        e_i = e_i[None]
+
+    consts1 = [c7r, c7i, tw2r, tw2i,
+               dq[0][0], dq[0][1], dq[1][0], dq[1][1], dq[2][0], dq[2][1]]
+    consts1 = [jnp.asarray(m) for m in consts1]
+    out1_spec = pl.BlockSpec(
+        (1, 1, 1, _CHUNK, q), lambda pi, b, c, g: (pi, b, g, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    a1r, a1i = pl.pallas_call(
+        kern1,
+        grid=grid1,
+        in_specs=[in_x, in_x] + [cspec(m.shape) for m in consts1]
+        + [espec, espec],
+        out_specs=[out1_spec, out1_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pol, n_blocks, p, n1, q), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, n_blocks, p, n1, q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3r, x3i, *consts1, e_r, e_i)
+
+    # ---- kernel 2: N-twiddle + outer n1-point DFT, kept columns --------
+    def kern2(ar_ref, ai_ref, rollr_ref, rolli_ref,
+              o1h, o1l, o2h, o2l, o3h, o3l, outr_ref, outi_ref):
+        g = pl.program_id(2)
+        d = pl.program_id(3)
+        # W[k2, i1] = e^{2pi i i1 k2 / N}, k2 = gamma + p*(d*CHUNK + lane);
+        # i1*k2 < 2^24 so the f32 angle is exact
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (n1, _CHUNK), 0)
+        dl = jax.lax.broadcasted_iota(jnp.int32, (n1, _CHUNK), 1)
+        k2 = g + p * (d * _CHUNK + dl)
+        ang = (2.0 * np.pi / n) * (i1 * k2).astype(jnp.float32)
+        wr = jnp.cos(ang)
+        wi = jnp.sin(ang)
+        ar = ar_ref[0, 0, 0]
+        ai = ai_ref[0, 0, 0]
+        br = ar * wr - ai * wi
+        bi = ar * wi + ai * wr
+        # gain + k2-part of the roll modulation (host constant, delivered
+        # pre-sliced per (gamma, delta-chunk) by its BlockSpec — in-kernel
+        # dynamic sublane indexing is not lowerable)
+        rr = rollr_ref[0, 0:1, :]   # (1, CHUNK), broadcasts over i1 rows
+        ri = rolli_ref[0, 0:1, :]
+        cr = br * rr - bi * ri
+        ci = br * ri + bi * rr
+        consts = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
+        dn = (((0,), (0,)), ((), ()))
+        yr, yi = cfft.kar_dot(cr, ci, consts, dn)  # (CHUNK, n1_keep)
+        outr_ref[0, 0, 0] = yr
+        outi_ref[0, 0, 0] = yi
+
+    grid2 = (n_pol, n_blocks, p, q // _CHUNK)
+    in_a = pl.BlockSpec(
+        (1, 1, 1, n1, _CHUNK), lambda pi, b, g, d: (pi, b, g, 0, d),
+        memory_space=pltpu.VMEM,
+    )
+
+    def cspec2(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda pi, b, g, d: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    # (gamma*nchunk + d) rows of 8 replicated sublanes x CHUNK lanes: a
+    # (1, 8, CHUNK) block satisfies Mosaic's (8, 128)-divisible block rule
+    nch_d = q // _CHUNK
+    roll_spec = pl.BlockSpec(
+        (1, 8, _CHUNK), lambda pi, b, g, d: (g * nch_d + d, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def _roll8(v):
+        v = v.reshape(p, nch_d, 1, _CHUNK)
+        return np.broadcast_to(
+            v, (p, nch_d, 8, _CHUNK)
+        ).reshape(p * nch_d, 8, _CHUNK).copy()
+    consts2 = [
+        outer[0][0], outer[0][1], outer[1][0], outer[1][1],
+        outer[2][0], outer[2][1],
+    ]
+    consts2 = [jnp.asarray(m) for m in consts2]
+    out2_spec = pl.BlockSpec(
+        (1, 1, 1, _CHUNK, n1_keep), lambda pi, b, g, d: (pi, b, g, d, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y2r, y2i = pl.pallas_call(
+        kern2,
+        grid=grid2,
+        in_specs=[in_a, in_a, roll_spec, roll_spec]
+        + [cspec2(m.shape) for m in consts2],
+        out_specs=[out2_spec, out2_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pol, n_blocks, p, q, n1_keep), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, n_blocks, p, q, n1_keep), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a1r, a1i, jnp.asarray(_roll8(rollr)), jnp.asarray(_roll8(rolli)),
+      *consts2)
+
+    # t - lo = n2*j + p*delta + gamma: reorder (gamma, delta, j) -> t with
+    # one XLA transpose over the kept output only
+    keep = (n - 2 * lo)
+
+    def order(y):
+        return jnp.transpose(y, (0, 1, 4, 3, 2)).reshape(
+            n_pol, n_blocks, keep
+        )
+
+    return order(y2r), order(y2i)

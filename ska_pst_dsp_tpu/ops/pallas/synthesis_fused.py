@@ -12,8 +12,10 @@ whole per-channel frontend of polyphase_synthesis.m:163-251 —
 only the kept passband bins, already in assembled spectrum order
 (pol, block, chan, FN_width), so the subsequent reshape to the full-band
 spectrum is a free bitcast. The epilogue (Nyquist roll, spectral taper,
-optional spectral filter, big backward FFT, overlap discard) stays composed
-XLA: its working set (e.g. the 1.8M-point mid IFFT) exceeds VMEM.
+optional spectral filter, big backward FFT, overlap discard) runs as a
+fused Pallas kernel too: in-VMEM four-step when the block fits
+(ifft_fused; low), the out-of-core two-kernel three-factor path when it
+does not (ifft_big; mid's 1.8M points), composed XLA otherwise.
 
 TPU-shaped choices (each forced by a Mosaic layout rule):
   * The stream is processed time-major (P, T, C): overlap-save frames then
@@ -24,10 +26,13 @@ TPU-shaped choices (each forced by a Mosaic layout rule):
     itself: the kernel multiplies against D[:, (L/2 + discard + j) mod L]
     * deripple[j] — column selection of a constant matrix is free, so the
     misaligned-lane slices/concats they would otherwise need never exist.
-  * One GEMM per output component — [xr; xi] @ [[Dr],[−Di]] and
-    [xr; xi] @ [[Di],[Dr]] — both (2L, FN_width) matrices, split-bf16x3 for
-    fp32-class accuracy (see cfft.kernel_dot); contraction is along
-    sublanes (dot_general ((0,), (0,))), so no operand is ever transposed.
+  * The DFT runs as the Karatsuba 3-multiplication complex GEMM
+    (cfft.kar_dot) against (L, FN_width) constants, split-bf16x3 for
+    fp32-class accuracy; contraction is along sublanes (dot_general
+    ((0,), (0,))), so no operand is ever transposed. Frame DMAs are
+    double-buffered across grid steps, and ragged tails are handled by
+    clamping the frame start (discarded blocks) instead of padding the
+    stream.
 
 Differential-tested against ops.polyphase_synthesis in tests/test_pallas.py.
 """
@@ -55,15 +60,17 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 def _plan(n_chan: int, L: int, keep: int, fnw: int) -> Tuple[int, int]:
     """Choose (C_TILE, KB): channels and overlap-save blocks per grid step.
     C_TILE must keep lane offsets aligned (multiple of 128, or the whole
-    channel axis); KB amortizes matrix loads across blocks."""
+    channel axis); KB amortizes matrix loads across blocks and sets the
+    GEMM M-dim (KB * C_TILE rows)."""
     c_tile = n_chan if n_chan <= 128 else 128
-    kb = 4
+    kb = 8
     while kb > 1:
         vmem = (
-            2 * kb * L * c_tile * 4          # frame slots (re+im)
-            + 4 * (2 * L) * fnw * 2          # Dsel hi/lo for both components
-            + 2 * kb * c_tile * fnw * 4      # output tiles
-            + 2 * 2 * L * c_tile * 4         # GEMM temporaries
+            2 * 2 * kb * L * c_tile * 4      # frame slots (re+im, 2 buffers)
+            + 6 * L * fnw * 2                # Karatsuba constants hi/lo
+            + 2 * 2 * kb * c_tile * fnw * 4  # output tiles (re+im, 2 buffers)
+            + 6 * L * kb * c_tile * 2        # bf16 operand splits (3 GEMMs)
+            + 2 * L * kb * c_tile * 4        # taper/sum temporaries
         )
         if vmem <= _VMEM_BUDGET:
             break
@@ -71,104 +78,95 @@ def _plan(n_chan: int, L: int, keep: int, fnw: int) -> Tuple[int, int]:
     return c_tile, kb
 
 
-def _kernel_dot_t(a, bh, bl):
-    """fp32-accurate GEMM contracting dim 0 of both operands (sublane
-    contraction — no transposes): a (2L, C) x b (2L, F) → (C, F).
-    Same split-bf16x3 scheme as cfft.kernel_dot."""
-    dn = (((0,), (0,)), ((), ()))
-    if cfft._PRECISION is jax.lax.Precision.HIGHEST:
-        b = bh.astype(jnp.float32) + bl.astype(jnp.float32)
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    if cfft._PRECISION is None:
-        return jax.lax.dot_general(
-            a.astype(jnp.bfloat16), bh, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jax.lax.dot_general(
-        ah, bh, dimension_numbers=dn, preferred_element_type=jnp.float32
-    )
-    acc = acc + jax.lax.dot_general(
-        ah, bl, dimension_numbers=dn, preferred_element_type=jnp.float32
-    )
-    acc = acc + jax.lax.dot_general(
-        al, bh, dimension_numbers=dn, preferred_element_type=jnp.float32
-    )
-    return acc
-
-
 def _kernel(
     xr_hbm, xi_hbm,          # (P, T_pad, C) ANY/HBM, time-major
     taper_ref,               # (L, 1) VMEM
-    dsel_h, dsel_l,          # (2L, 2*fnw) bf16 hi/lo: [[Dr|Di],[-Di|Dr]]
-    out_ref,                 # out (1, KB, C_TILE, 2*fnw) VMEM
-    bufr, bufi,              # scratch (KB, L, C_TILE) VMEM
-    sems,                    # DMA semaphores (2, KB)
+    drh, drl, dih, dil, dsh, dsl,  # (L, fnw) bf16 Karatsuba constants
+    outr_ref, outi_ref,      # out (1, KB, C_TILE, fnw) VMEM each
+    bufr, bufi,              # scratch (2 slots, KB, L, C_TILE) VMEM
+    sems,                    # DMA semaphores (2 slots, 2, KB)
     *,
-    L: int, keep: int, fnw: int, c_tile: int, kb: int,
+    L: int, keep: int, fnw: int, c_tile: int, kb: int, t_max: int,
 ):
     p = pl.program_id(0)
     c = pl.program_id(1)
     t = pl.program_id(2)
-    base = t * kb * keep  # sublane offset: divisible by 8 (keep % 8 == 0)
+    n_t = pl.num_programs(2)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
 
-    copies = []
-    for b in range(kb):
-        for comp, (hbm, buf) in enumerate(((xr_hbm, bufr), (xi_hbm, bufi))):
-            cp = pltpu.make_async_copy(
-                hbm.at[p, pl.ds(base + b * keep, L),
-                       pl.ds(c * c_tile, c_tile)],
-                buf.at[b],
-                sems.at[comp, b],
-            )
-            cp.start()
-            copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    def dma(t_idx, slot_idx, comp, b):
+        hbm, buf = ((xr_hbm, bufr), (xi_hbm, bufi))[comp]
+        # frame start, clamped into bounds: blocks past the valid stream
+        # are discarded by the caller, so they may read (aligned) garbage —
+        # this removes the full-stream pad copy the tail otherwise forces.
+        # Both operands of the min are multiples of 8, so the sublane
+        # offset stays aligned.
+        base = pl.multiple_of(
+            jnp.minimum(t_idx * (kb * keep) + b * keep, t_max), 8
+        )
+        return pltpu.make_async_copy(
+            hbm.at[p, pl.ds(base, L), pl.ds(c * c_tile, c_tile)],
+            buf.at[slot_idx, b],
+            sems.at[slot_idx, comp, b],
+        )
+
+    def start(t_idx, slot_idx):
+        for comp in range(2):
+            for b in range(kb):
+                dma(t_idx, slot_idx, comp, b).start()
+
+    # double buffering: issue the NEXT step's frame DMAs before blocking on
+    # this step's — the copies ride under the GEMMs instead of ahead of them
+    @pl.when(t == 0)
+    def _():
+        start(t, slot)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        start(t + 1, nxt)
+
+    for comp in range(2):
+        for b in range(kb):
+            dma(t, slot, comp, b).wait()
 
     taper = taper_ref[:]  # (L, 1) broadcasts along channels
-    # ONE fat GEMM per grid step: the kb blocks ride side-by-side in the
-    # lanes (c_tile-offset lane concat, aligned), and both output
-    # components come from the combined [D_r | D_i] constant — per-GEMM
-    # launch overhead dominated the round-2 kernel at 2*kb launches/step
-    cat = jnp.concatenate(
-        [
-            jnp.concatenate([bufr[b] * taper, bufi[b] * taper], axis=0)
-            for b in range(kb)
-        ],
-        axis=1,
-    )  # (2L, kb*C_TILE)
-    res = _kernel_dot_t(cat, dsel_h[:], dsel_l[:])  # (kb*C_TILE, 2*fnw)
-    out_ref[0] = res.reshape(kb, c_tile, 2 * fnw)
+    # the kb blocks ride side-by-side in the lanes (c_tile-offset lane
+    # concat, aligned) of THREE fat GEMMs — the Karatsuba 3-multiplication
+    # complex product (cfft.kar_dot), 25% fewer MXU flops than the
+    # (2L x 2fnw) block-matrix form
+    ar = jnp.concatenate(
+        [bufr[slot, b] * taper for b in range(kb)], axis=1
+    )  # (L, kb*C_TILE)
+    ai = jnp.concatenate(
+        [bufi[slot, b] * taper for b in range(kb)], axis=1
+    )
+    consts = ((drh[:], drl[:]), (dih[:], dil[:]), (dsh[:], dsl[:]))
+    dn = (((0,), (0,)), ((), ()))
+    re, im = cfft.kar_dot(ar, ai, consts, dn)  # (kb*C_TILE, fnw) each
+    outr_ref[0] = re.reshape(kb, c_tile, fnw)
+    outi_ref[0] = im.reshape(kb, c_tile, fnw)
 
 
 @functools.lru_cache(maxsize=None)
 def _dsel_matrices(L: int, fnw: int, kpos: int, dr_key) -> Tuple[np.ndarray, ...]:
-    """(2L, 2*fnw) combined DFT matrix [D_r | D_i] with fftshift+keep as
-    column selection and deripple folded in: kept bin j is raw DFT bin
-    (kpos + j) mod L; one GEMM produces both output components."""
+    """Karatsuba constant triple (hi/lo pairs) of the (L, fnw) DFT matrix
+    with fftshift+keep as column selection and deripple folded in: kept bin
+    j is raw DFT bin (kpos + j) mod L (see cfft.karatsuba_consts)."""
     dr = np.asarray(dr_key, dtype=np.float64)
     t = np.arange(L)[:, None]
     k = (kpos + np.arange(fnw))[None, :] % L
     ang = -2.0 * np.pi * ((t * k) % L) / L
-    c = np.cos(ang) * dr
-    s = np.sin(ang) * dr
-    dsel_r = np.concatenate([c, -s], axis=0)
-    dsel_i = np.concatenate([s, c], axis=0)
-    dsel = np.concatenate([dsel_r, dsel_i], axis=1).astype(np.float32)
-    return cfft.split_bf16(dsel)
+    c = (np.cos(ang) * dr).astype(np.float32)
+    s = (np.sin(ang) * dr).astype(np.float32)
+    return cfft.karatsuba_consts(c, s)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "geom_key", "spans_nyquist", "has_sf", "ifft_plan", "time_major",
-        "interpret",
+        "geom_key", "spans_nyquist", "has_sf", "has_perm", "valid_len",
+        "ifft_plan", "time_major", "interpret",
     ),
 )
 def _fused_synthesis(
@@ -176,6 +174,7 @@ def _fused_synthesis(
     t_taper, s_taper, dsel, perm, sf_r, sf_i, elem,
     *,
     geom_key, spans_nyquist: bool, has_sf: bool = False,
+    has_perm: bool = True, valid_len=None,
     ifft_plan=None, time_major: bool = False, interpret: bool = False,
 ):
     n_chan_g, L, overlap, nu, de = geom_key
@@ -184,7 +183,11 @@ def _fused_synthesis(
         n_pol, n_dat, n_chan = xr.shape
     else:
         n_pol, n_chan, n_dat = xr.shape
-    n_blocks = geom.n_blocks(n_dat)
+    # valid_len lets callers hand over a tail-padded stream (e.g. the fused
+    # analysis' padded output) without slicing it first — blocks past the
+    # valid region are never computed
+    n_valid = n_dat if valid_len is None else valid_len
+    n_blocks = geom.n_blocks(n_valid)
     fnw = geom.fn_width
     keep = geom.input_keep
     kpos = (L // 2 + geom.discard) % L
@@ -201,36 +204,38 @@ def _fused_synthesis(
 
     c_tile, kb = _plan(n_chan, L, keep, fnw)
     n_bt = -(-n_blocks // kb)
-    t_pad = (n_bt * kb - 1) * keep + L
-    pad = max(0, t_pad - n_dat)
 
     xs = jnp.stack([xr, xi])
     if time_major:
         # already the kernel's native layout; combine permutation rides the
-        # channel (last) axis
-        xs = jnp.take(xs, perm, axis=3)
-        if pad:
-            xs = jnp.pad(xs, [(0, 0), (0, 0), (0, pad), (0, 0)])
-        xs = xs[:, :, :t_pad, :]
+        # channel (last) axis — skipped entirely when it is the identity
+        if has_perm:
+            xs = jnp.take(xs, perm, axis=3)
     else:
-        xs = jnp.take(xs, perm, axis=2)
-        if pad:
-            xs = jnp.pad(xs, [(0, 0), (0, 0), (0, 0), (0, pad)])
-        xs = jnp.swapaxes(xs[..., :t_pad], -1, -2)  # (2, P, T_pad, C)
+        if has_perm:
+            xs = jnp.take(xs, perm, axis=2)
+        xs = jnp.swapaxes(xs, -1, -2)  # (2, P, T, C)
 
+    # tail blocks of the last kb-group read clamped (in-bounds) garbage and
+    # are discarded — no pad copy of the stream (see _kernel)
+    t_max = ((n_dat - L) // 8) * 8
     kern = functools.partial(
-        _kernel, L=L, keep=keep, fnw=fnw, c_tile=c_tile, kb=kb,
+        _kernel, L=L, keep=keep, fnw=fnw, c_tile=c_tile, kb=kb, t_max=t_max,
     )
     grid = (n_pol, n_chan // c_tile, n_bt)
     mat_spec = pl.BlockSpec(
-        (2 * L, 2 * fnw), lambda p, c, t: (0, 0), memory_space=pltpu.VMEM
+        (L, fnw), lambda p, c, t: (0, 0), memory_space=pltpu.VMEM
     )
     out_shape = [
-        jax.ShapeDtypeStruct(
-            (n_pol, n_bt * kb, n_chan, 2 * fnw), jnp.float32
-        ),
+        jax.ShapeDtypeStruct((n_pol, n_bt * kb, n_chan, fnw), jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, n_bt * kb, n_chan, fnw), jnp.float32),
     ]
-    fn_both = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, kb, c_tile, fnw), lambda p, c, t: (p, t, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dmats = [m for pair in dsel for m in pair]
+    fnr, fni = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -238,24 +243,16 @@ def _fused_synthesis(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((L, 1), lambda p, c, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            mat_spec, mat_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, kb, c_tile, 2 * fnw), lambda p, c, t: (p, t, c, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ] + [mat_spec] * 6,
+        out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((kb, L, c_tile), jnp.float32),
-            pltpu.VMEM((kb, L, c_tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, kb)),
+            pltpu.VMEM((2, kb, L, c_tile), jnp.float32),
+            pltpu.VMEM((2, kb, L, c_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, kb)),
         ],
         interpret=interpret,
-    )(xs[0], xs[1], t_taper[:, None], *dsel)[0]
-    fnr = fn_both[..., :fnw]
-    fni = fn_both[..., fnw:]
+    )(xs[0], xs[1], t_taper[:, None], *dmats)
 
     out_shape = (n_pol, 1, n_blocks * geom.output_keep)
     lo = geom.output_overlap
@@ -263,20 +260,32 @@ def _fused_synthesis(
 
     if ifft_plan is not None:
         # fused epilogue: roll/taper/filter/scale folded into the kernel's
-        # constants; only the kept output region is ever computed
+        # constants; only the kept output region is ever computed. "small"
+        # = whole block in VMEM (low); "big" = out-of-core two-kernel
+        # three-factor path (mid's 1.8M-point IFFT)
+        from .ifft_big import fused_big_ifft_oc
         from .ifft_fused import fused_big_ifft
 
         flatr = fnr[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
         flati = fni[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
-        n2, n1 = ifft_plan
         roll = fnw // 2 if spans_nyquist else 0
         er, ei = (elem if elem is not None else (None, None))
-        kr, ki = fused_big_ifft(
-            flatr, flati, er, ei,
-            shape_key=(n_big, n2, n1, lo, roll, de / nu),
-            has_elem=elem is not None,
-            interpret=interpret,
-        )
+        if ifft_plan[0] == "small":
+            n2, n1 = ifft_plan[1:]
+            kr, ki = fused_big_ifft(
+                flatr, flati, er, ei,
+                shape_key=(n_big, n2, n1, lo, roll, de / nu),
+                has_elem=elem is not None,
+                interpret=interpret,
+            )
+        else:
+            fp, fq, n1 = ifft_plan[1:]
+            kr, ki = fused_big_ifft_oc(
+                flatr, flati, er, ei,
+                shape_key=(n_big, fp, fq, n1, lo, roll, de / nu),
+                has_elem=elem is not None,
+                interpret=interpret,
+            )
         return kr.reshape(out_shape), ki.reshape(out_shape)
 
     # composed-XLA epilogue (e.g. mid's 1.8M-point IFFT exceeds VMEM)
@@ -315,6 +324,7 @@ def polyphase_synthesis_fused(
     combine: int = 1,
     spectral_filter=None,
     time_major_in: bool = False,
+    valid_len: Optional[int] = None,
     interpret: bool = False,
 ):
     """Drop-in for :func:`ska_pst_dsp_tpu.ops.polyphase_synthesis` with the
@@ -323,7 +333,10 @@ def polyphase_synthesis_fused(
 
     ``time_major_in=True`` takes x as (n_pol, n_dat, n_chan) — the fused
     analysis' native output layout (``time_major=True``) — skipping the
-    full-stream transpose between the stages."""
+    full-stream transpose between the stages. ``valid_len`` marks the first
+    ``valid_len`` time samples as real data (the rest being tail padding a
+    producer kernel emitted), so padded streams hand over without a slice
+    copy."""
     os_factor = Rational.coerce(os_factor)
     pair_in = isinstance(x, tuple)
     if pair_in:
@@ -368,6 +381,7 @@ def polyphase_synthesis_fused(
         dr = np.ones(fnw, dtype=np.float32)
 
     perm = combine_channel_permutation(n_chan, combine).astype(np.int32)
+    has_perm = bool(np.any(perm != np.arange(n_chan, dtype=np.int32)))
 
     if spectral_filter is not None:
         if isinstance(spectral_filter, tuple):
@@ -382,16 +396,22 @@ def polyphase_synthesis_fused(
 
     kpos = (L // 2 + geom.discard) % L
     dsel = tuple(
-        jnp.asarray(m)
-        for m in _dsel_matrices(L, fnw, kpos, tuple(dr.tolist()))
+        (jnp.asarray(h), jnp.asarray(lo))
+        for h, lo in _dsel_matrices(L, fnw, kpos, tuple(dr.tolist()))
     )
 
     # plan the fused IFFT epilogue; fold taper/filter into its elementwise
     # constant, pre-rolled by +roll so the kernel's modulation-theorem roll
-    # sees them at the right bins (see ifft_fused)
+    # sees them at the right bins (see ifft_fused / ifft_big)
+    from .ifft_big import plan_big_ifft
     from .ifft_fused import plan_ifft
 
-    ifft_plan = plan_ifft(geom.output_fft_length, geom.output_overlap)
+    small = plan_ifft(geom.output_fft_length, geom.output_overlap)
+    if small is not None:
+        ifft_plan = ("small",) + small
+    else:
+        big = plan_big_ifft(geom.output_fft_length, geom.output_overlap)
+        ifft_plan = ("big",) + big if big is not None else None
     elem = None
     if ifft_plan is not None:
         roll = fnw // 2 if spans_nyquist else 0
@@ -416,6 +436,8 @@ def polyphase_synthesis_fused(
         geom_key=(n_chan, L, input_overlap, os_factor.nu, os_factor.de),
         spans_nyquist=spans_nyquist,
         has_sf=spectral_filter is not None,
+        has_perm=has_perm,
+        valid_len=valid_len,
         ifft_plan=ifft_plan,
         time_major=time_major_in,
         interpret=interpret,

@@ -312,3 +312,171 @@ def sharded_polyphase_synthesis_2d(
     rr, ri = run((xr, xi), t_vec, s_vec, dr)
     valid = geom.n_blocks(n_dat) * geom.output_keep
     return rr[:, :, :valid], ri[:, :, :valid]
+
+
+def sharded_polyphase_analysis_padded_2d(
+    x,
+    filt,
+    block: int,
+    os_factor,
+    mesh: Mesh,
+    *,
+    apply_delay: bool = True,
+) -> Pair:
+    """Zero-padded (SKA-Mid) analysis PFB on a ('chan', 'time') mesh.
+
+    Same structure as :func:`sharded_polyphase_analysis_2d` — the fold runs
+    time-sharded (halo = *previous* shard's filter history), the DFT's
+    output-channel columns shard over 'chan' with no collective — with the
+    padded kernel's mathematics: time-reversed-filter correlation, and
+    reverse-then-IFFT*block^2 rewritten as block * e^{-2pi i q/block} * FFT
+    (index identity, see ops/pallas/analysis_padded_fused.py), which merges
+    with the derotation ramp into ONE per-channel elementwise constant —
+    sliceable along the sharded channel axis.
+
+    Output (n_pol, block, n_dat//step) sharded P(None, 'chan', 'time'), the
+    corner-turn synthesis' input layout. Reference:
+    polyphase_analysis_padded.m:113-153.
+    """
+    os_factor = Rational.coerce(os_factor)
+    if isinstance(x, tuple):
+        xr, xi = jnp.asarray(x[0]), jnp.asarray(x[1])
+    else:
+        xr, xi = cfft.split(x)
+    if xr.ndim == 3:
+        xr, xi = xr[:, 0, :], xi[:, 0, :]
+    from ..ops import analysis as _analysis
+
+    step = geometry.analysis_step(block, os_factor)
+    nu = os_factor.nu
+    dc = mesh.shape["chan"]
+    dt = mesh.shape["time"]
+    n_pol, n_dat = xr.shape
+    if block % dc:
+        raise ValueError(f"block={block} not divisible by chan axis {dc}")
+    shard = n_dat // dt
+    if shard % (step * nu):
+        raise ValueError(
+            f"time shard {shard} must be a multiple of step*nu = {step * nu}"
+        )
+    cs = block // dc
+
+    f2d_rev = jnp.asarray(_analysis._prep_filter(filt, block, reverse=True))
+    fl = f2d_rev.shape[0] * block
+    halo_blocks = -(-fl // step)
+    halo_blocks += (-halo_blocks) % nu
+    halo = halo_blocks * step
+
+    dblk = jnp.asarray(cfft._dft_block(block, inverse=False))
+    # ramp * (block * e^{-2pi i q / block}) — the reverse+IFFT identity
+    rr_nu, ri_nu = _analysis._phase_ramp(block, step, nu, 0)
+    q = np.arange(block)
+    pr = block * np.cos(-2.0 * np.pi * q / block)
+    pi_ = block * np.sin(-2.0 * np.pi * q / block)
+    c_re = jnp.asarray(
+        (rr_nu.astype(np.float64) * pr - ri_nu.astype(np.float64) * pi_)
+        .astype(np.float32)
+    )
+    c_im = jnp.asarray(
+        (rr_nu.astype(np.float64) * pi_ + ri_nu.astype(np.float64) * pr)
+        .astype(np.float32)
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            (P(None, "time"), P(None, "time")),
+            P(None, None), P(None, None), P(None, None), P(None, None),
+        ),
+        out_specs=(P(None, "chan", "time"), P(None, "chan", "time")),
+    )
+    def run(pair, f2d_l, dblk_l, cr_l, ci_l):
+        lr, li = pair
+        n = jax.lax.axis_size("time")
+        perm = [(i, i + 1) for i in range(n - 1)]
+        hr = jax.lax.ppermute(lr[..., -halo:], "time", perm)
+        hi_ = jax.lax.ppermute(li[..., -halo:], "time", perm)
+        # shard 0's true history is zeros — exactly its (non-circular)
+        # ppermute fill — so dropping the recomputed history blocks below
+        # is correct for every shard
+        xer = jnp.concatenate([hr, lr], axis=-1)
+        xei = jnp.concatenate([hi_, li], axis=-1)
+        xs = jnp.stack([xer, xei])
+        xs = jnp.pad(xs, [(0, 0), (0, 0), (fl, 0)])
+        nblk = xer.shape[-1] // step
+        phases = fl // block
+        frames = frame(xs, fl, step, nblk).reshape(
+            2, n_pol, nblk, phases, block
+        )
+        g = jnp.einsum("spkmj,mj->spkj", frames, f2d_l)
+        gr, gi = g[0], g[1]
+        cat = jnp.concatenate([gr, gi], axis=-1)  # (P, K, 2*block)
+
+        c0 = jax.lax.axis_index("chan") * cs
+        d_re = jax.lax.dynamic_slice_in_dim(dblk_l, c0, cs, axis=1)
+        d_im = jax.lax.dynamic_slice_in_dim(dblk_l, block + c0, cs, axis=1)
+        sr = jnp.einsum("pkt,tc->pkc", cat, d_re, precision=cfft._PRECISION)
+        si = jnp.einsum("pkt,tc->pkc", cat, d_im, precision=cfft._PRECISION)
+
+        r_re = jax.lax.dynamic_slice_in_dim(cr_l, c0, cs, axis=1)
+        r_im = jax.lax.dynamic_slice_in_dim(ci_l, c0, cs, axis=1)
+        reps = nblk // nu
+        r_re = jnp.tile(r_re, (reps, 1))
+        r_im = jnp.tile(r_im, (reps, 1))
+        outr = sr * r_re - si * r_im
+        outi = sr * r_im + si * r_re
+        outr = outr[:, halo_blocks:, :]
+        outi = outi[:, halo_blocks:, :]
+        return (
+            jnp.transpose(outr, (0, 2, 1)),
+            jnp.transpose(outi, (0, 2, 1)),
+        )
+
+    rr, ri = run((xr, xi), f2d_rev, dblk, c_re, c_im)
+    if apply_delay:
+        delay = geometry.padded_sample_delay_shift(
+            int(np.asarray(filt).size), block, os_factor
+        )
+        rr = jnp.roll(rr, -delay, axis=2)
+        ri = jnp.roll(ri, -delay, axis=2)
+    return rr, ri
+
+
+def sharded_round_trip_2d_padded(
+    x,
+    filt,
+    n_chan: int,
+    os_factor,
+    input_fft_length: int,
+    input_overlap: int,
+    mesh: Mesh,
+    *,
+    temporal_taper: str = "tukey",
+    deripple: bool = True,
+) -> Pair:
+    """Full 2-D SKA-Mid-style pipeline: channel×time-sharded padded
+    analysis -> corner-turn synthesis at the mid channel count."""
+    os_factor = Rational.coerce(os_factor)
+    cr, ci = sharded_polyphase_analysis_padded_2d(
+        x, filt, n_chan, os_factor, mesh
+    )
+    dt = mesh.shape["time"]
+    dc = mesh.shape["chan"]
+    keep = input_fft_length - 2 * input_overlap
+    step = geometry.analysis_step(n_chan, os_factor)
+    n_dat = (x[0] if isinstance(x, tuple) else x).shape[-1]
+    t_valid = n_dat // step
+    t_shard = (t_valid // (dt * keep * dc)) * keep * dc
+    spec = NamedSharding(mesh, P(None, "chan", "time"))
+    cr = jax.lax.with_sharding_constraint(cr[:, :, : t_shard * dt], spec)
+    ci = jax.lax.with_sharding_constraint(ci[:, :, : t_shard * dt], spec)
+    return sharded_polyphase_synthesis_2d(
+        (cr, ci),
+        input_fft_length,
+        os_factor,
+        mesh,
+        input_overlap=input_overlap,
+        deripple_coeff=filt if deripple else None,
+        temporal_taper=temporal_taper,
+    )

@@ -303,3 +303,45 @@ def sharded_round_trip(
         deripple_coeff=filt if deripple else None,
         temporal_taper=temporal_taper,
     )
+
+
+def sharded_round_trip_padded(
+    x,
+    filt,
+    n_chan: int,
+    os_factor,
+    input_fft_length: int,
+    input_overlap: int,
+    mesh: Mesh,
+    *,
+    temporal_taper: str = "tukey",
+    deripple: bool = True,
+) -> Pair:
+    """Full sharded SKA-Mid-style pipeline: time-sharded zero-padded
+    analysis -> time-sharded Golden inversion. The mid chain's analog of
+    :func:`sharded_round_trip`; the analysis output keeps the kernel's
+    group-delay correction (``output_overlap - 1`` alignment downstream,
+    tests/test_mid_production.py)."""
+    os_factor = Rational.coerce(os_factor)
+    cr, ci = sharded_polyphase_analysis_padded(
+        x, filt, n_chan, os_factor, mesh
+    )
+    n_dev = mesh.devices.size
+    keep = input_fft_length - 2 * input_overlap
+    xr, _ = _as_pair(x)
+    n_dat = xr.shape[-1]
+    step = geometry.analysis_step(n_chan, os_factor)
+    t_valid = n_dat // step
+    t_shard = (t_valid // (n_dev * keep)) * keep
+    spec = NamedSharding(mesh, P(None, None, "time"))
+    cr = jax.lax.with_sharding_constraint(cr[:, :, : t_shard * n_dev], spec)
+    ci = jax.lax.with_sharding_constraint(ci[:, :, : t_shard * n_dev], spec)
+    return sharded_polyphase_synthesis(
+        (cr, ci),
+        input_fft_length,
+        os_factor,
+        mesh,
+        input_overlap=input_overlap,
+        deripple_coeff=filt if deripple else None,
+        temporal_taper=temporal_taper,
+    )

@@ -1,5 +1,11 @@
 """Fused Pallas kernels vs the composed XLA kernels (interpret mode — the
-compiled path is exercised on hardware by bench.py and the driver)."""
+compiled path is exercised on hardware by bench.py and the driver).
+
+Tolerances: the kernels use the Karatsuba 3-multiplication complex GEMM
+(cfft.kar_dot), whose Im = t3 - t1 - t2 cancellation costs ~1-2 bits over
+the direct 4-GEMM form — a handful of elements land just past the direct
+form's fp32 error bound, so the differential tolerances carry a 2x margin
+(~1e-5 relative == -100 dB power, far below the -60 dB purity floor)."""
 
 import numpy as np
 import pytest
@@ -37,7 +43,7 @@ class TestFusedAnalysis:
         )
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=3e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=8e-6 * scale, rtol=0)
 
     def test_matches_reference_odd_pol(self):
         """Odd polarization counts are padded to the HBM sublane pair."""
@@ -51,7 +57,7 @@ class TestFusedAnalysis:
         scale = np.abs(ref).max()
         # 3e-6·scale: fp32 accumulation-order differences between the fused
         # kernel and the composed XLA path reach ~2.2e-6·scale on a few bins.
-        np.testing.assert_allclose(got, ref, atol=3e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=8e-6 * scale, rtol=0)
 
     def test_tuple_api(self):
         os_f = Rational(4, 3)
@@ -64,7 +70,7 @@ class TestFusedAnalysis:
         ref = np.asarray(polyphase_analysis(x, filt, 256, os_f))
         got = np.asarray(rr) + 1j * np.asarray(ri)
         np.testing.assert_allclose(
-            got, ref, atol=3e-6 * np.abs(ref).max(), rtol=0
+            got, ref, atol=8e-6 * np.abs(ref).max(), rtol=0
         )
 
     def test_rejects_unaligned_block(self):
@@ -126,14 +132,14 @@ class TestFusedSynthesis:
         ref, got = self._both(_fine_noise(2, self.N_CHAN, 2000, seed=1))
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
     def test_spectral_taper(self):
         ref, got = self._both(
             _fine_noise(2, self.N_CHAN, 1500, seed=2), spectral_taper="tukey"
         )
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
     def test_spectral_filter(self):
         """Dedispersion-chirp slot rides the fused epilogue's elementwise
@@ -146,7 +152,7 @@ class TestFusedSynthesis:
             _fine_noise(1, self.N_CHAN, 1500, seed=3), spectral_filter=sf
         )
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
     def test_critical_no_nyquist(self):
         x = _fine_noise(1, self.N_CHAN, 1200, seed=4)
@@ -165,7 +171,7 @@ class TestFusedSynthesis:
             )
         )
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
     def test_tuple_api(self):
         x = _fine_noise(1, self.N_CHAN, 1200, seed=5)
@@ -182,14 +188,14 @@ class TestFusedSynthesis:
         )
         got = np.asarray(rr) + 1j * np.asarray(ri)
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
     def test_combine_permutation(self):
         ref, got = self._both(
             _fine_noise(1, self.N_CHAN, 1200, seed=6), combine=16
         )
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(got, ref, atol=5e-6 * scale, rtol=0)
+        np.testing.assert_allclose(got, ref, atol=1.2e-5 * scale, rtol=0)
 
 
 class TestTimeMajorHandoff:
@@ -307,3 +313,57 @@ class TestFusedPaddedAnalysis:
                 _noise(2, 10_000), filt[:3072], 256, Rational(4, 3),
                 interpret=True,
             )
+
+
+class TestOutOfCoreIfft:
+    """ops/pallas/ifft_big.py vs the composed roll+ifft+keep reference —
+    the out-of-core three-factor epilogue used at mid geometry (where a
+    block exceeds VMEM). Tested at a reduced three-factor size with the
+    same structure (p=7 like mid's 1,835,008 = 7*512*512)."""
+
+    def test_plan_mid_geometry(self):
+        from ska_pst_dsp_tpu.ops.pallas.ifft_big import plan_big_ifft
+
+        assert plan_big_ifft(1835008, 458752) == (7, 512, 512)
+        # low's 49152 = 96*512 block fits VMEM — the small path owns it
+        from ska_pst_dsp_tpu.ops.pallas.ifft_fused import plan_ifft
+
+        assert plan_ifft(49152, 9216) is not None
+
+    def _run(self, has_elem):
+        import jax.numpy as jnp
+        from ska_pst_dsp_tpu.ops.pallas.ifft_big import fused_big_ifft_oc
+
+        p, q, n1 = 7, 128, 128
+        n = p * q * n1
+        n2 = p * q
+        lo = n2 * 8
+        roll = 224
+        gain = 0.875
+        rng = np.random.default_rng(0)
+        fr = rng.standard_normal((1, 2, n)).astype(np.float32)
+        fi = rng.standard_normal((1, 2, n)).astype(np.float32)
+        if has_elem:
+            er = rng.standard_normal(n).astype(np.float32)
+            ei = rng.standard_normal(n).astype(np.float32)
+            x = (fr + 1j * fi) * (er + 1j * ei)
+            e_args = (jnp.asarray(er), jnp.asarray(ei))
+        else:
+            x = fr + 1j * fi
+            e_args = (None, None)
+        ref = np.fft.ifft(np.roll(x, -roll, axis=-1), axis=-1) * gain
+        ref = ref[..., lo:n - lo]
+        kr, ki = fused_big_ifft_oc(
+            jnp.asarray(fr), jnp.asarray(fi), *e_args,
+            shape_key=(n, p, q, n1, lo, roll, gain),
+            has_elem=has_elem, interpret=True,
+        )
+        got = np.asarray(kr) + 1j * np.asarray(ki)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-4
+
+    def test_matches_reference(self):
+        self._run(has_elem=False)
+
+    def test_elementwise_factor(self):
+        self._run(has_elem=True)
