@@ -37,9 +37,32 @@ ops/pallas/ifft_big).
 
 import json
 import math
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the remote-compile tunnel takes
+    minutes per Mosaic kernel chain, so warm runs must reuse binaries."""
+    import jax
+
+    path = os.environ.get(
+        "SKA_PST_JAX_CACHE", os.path.expanduser("~/.cache/jax_ska_pst")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 V5E_BF16_TFLOPS = 197.0  # v5e MXU peak
 V5E_HBM_GBS = 819.0      # v5e HBM bandwidth
@@ -81,8 +104,11 @@ def _roofline(name, msps):
     from ska_pst_dsp_tpu.ops import cfft
 
     def matmul_fft_flops(n):
+        # one n-point complex DFT as the Karatsuba 3-multiplication GEMM:
+        # 3 real (n x n) products = 6 n^2 nominal flops (x3 bf16 passes
+        # applied by the caller)
         if n <= cfft.BASE:
-            return 2.0 * (2 * n) ** 2 / 2  # (rows, 2n)@(2n, 2n) per row pair
+            return 6.0 * n ** 2
         n1 = cfft._split_factor(n)
         n2 = n // n1
         return (

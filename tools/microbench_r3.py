@@ -276,8 +276,198 @@ def extra_experiments():
                {"tile_k": analysis_fused._plan(256, 192, 3328, 4)[0]})
 
 
+
+
+def r3_stages():
+    """Round-3 session-2 stage timings (run with the persistent compile
+    cache enabled via bench._enable_compile_cache)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    import jax
+    import bench as _bench  # enables the compile cache on import
+    from ska_pst_dsp_tpu.design import fir
+    from ska_pst_dsp_tpu.utils import geometry
+    from ska_pst_dsp_tpu.utils.rational import Rational
+    from ska_pst_dsp_tpu.ops.pallas.analysis_fused import (
+        polyphase_analysis_fused,
+    )
+    from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+        polyphase_analysis_padded_fused, _fold_call, _plan as _pplan,
+    )
+    from ska_pst_dsp_tpu.ops.pallas.synthesis_fused import (
+        polyphase_synthesis_fused,
+    )
+    from ska_pst_dsp_tpu.ops.pallas.ifft_big import (
+        fused_big_ifft_oc, plan_big_ifft,
+    )
+    from ska_pst_dsp_tpu.ops.pallas.ifft_fused import fused_big_ifft, plan_ifft
+    from ska_pst_dsp_tpu.ops import cfft
+
+    which = set(sys.argv[2:]) or None
+
+    def want(name):
+        return which is None or name in which
+
+    rng = np.random.default_rng(0)
+
+    def timeit2(fn, args, reps=20):
+        import jax.numpy as jnp
+
+        @jax.jit
+        def step(c, *a):
+            o = fn(*(x + c if i == 0 else x for i, x in enumerate(a)))
+            if not isinstance(o, (tuple, list)):
+                o = (o,)
+            return c + sum(map(jnp.sum, o)) * 1e-30
+
+        c = step(jnp.float32(0), *args)
+        float(c)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c = step(c, *args)
+        float(c)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    # ---------------- low stages ----------------
+    os_f = Rational(4, 3)
+    n_chan, L, ov = 256, 256, 48
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    n_dat = 2**22
+    xr = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+    xi = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+
+    if want("low_analysis"):
+        ms = timeit2(
+            lambda a, b: polyphase_analysis_fused(
+                (a, b), filt, n_chan, os_f, time_major=True,
+                keep_padding=True,
+            )[0],
+            (xr, xi),
+        )
+        report("low_analysis", ms, {"msps": round(2 * n_dat / ms / 1e3, 1)})
+
+    step_lo = geometry.analysis_step(n_chan, os_f)
+    nb_fine = (n_dat - 3328) // step_lo
+    cr = jax.device_put(
+        rng.standard_normal((2, nb_fine, n_chan)).astype(np.float32))
+    ci = jax.device_put(
+        rng.standard_normal((2, nb_fine, n_chan)).astype(np.float32))
+    if want("low_synthesis"):
+        ms = timeit2(
+            lambda a, b: polyphase_synthesis_fused(
+                (a, b), L, os_f, input_overlap=ov, deripple_coeff=filt,
+                temporal_taper="tukey", time_major_in=True,
+            ),
+            (cr, ci),
+        )
+        report("low_synthesis", ms,
+               {"msps_raw_equiv": round(2 * n_dat / ms / 1e3, 1)})
+
+    if want("low_ifft"):
+        geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+        nb = geom.n_blocks(nb_fine)
+        n_big = geom.output_fft_length
+        n2, n1 = plan_ifft(n_big, geom.output_overlap)
+        fr = jax.device_put(
+            rng.standard_normal((2, nb, n_big)).astype(np.float32))
+        fi = jax.device_put(
+            rng.standard_normal((2, nb, n_big)).astype(np.float32))
+        ms = timeit2(
+            lambda a, b: fused_big_ifft(
+                a, b, None, None,
+                shape_key=(n_big, n2, n1, geom.output_overlap,
+                           geom.fn_width // 2, 0.75),
+                has_elem=False,
+            ),
+            (fr, fi),
+        )
+        report("low_ifft", ms, {"nb": nb})
+
+    # ---------------- mid stages ----------------
+    os_m = Rational(8, 7)
+    n_chan_m, L_m, ov_m = 4096, 512, 128
+    filt_m = fir.design_pfb_fir_filter_two_stage(n_chan_m, os_m, 28)
+    geom_m = geometry.SynthesisGeometry(n_chan_m, L_m, ov_m, os_m)
+    step_m = geometry.analysis_step(n_chan_m, os_m)
+    n_dat_m = (2 * ov_m + 2 * geom_m.input_keep) * step_m
+    mr = jax.device_put(rng.standard_normal((2, n_dat_m)).astype(np.float32))
+    mi = jax.device_put(rng.standard_normal((2, n_dat_m)).astype(np.float32))
+
+    if want("mid_fold"):
+        from ska_pst_dsp_tpu.ops import analysis as _ana
+        f2d_rev = jax.numpy.asarray(
+            _ana._prep_filter(filt_m, n_chan_m, reverse=True))
+        fl = f2d_rev.shape[0] * n_chan_m
+        pad_r = jax.device_put(rng.standard_normal(
+            (2, n_dat_m + fl + 200000)).astype(np.float32))
+        pad_i = jax.device_put(rng.standard_normal(
+            (2, n_dat_m + fl + 200000)).astype(np.float32))
+        ms = timeit2(
+            lambda a, b: _fold_call(
+                a, b, f2d_rev, block=n_chan_m, step=step_m, fl=fl),
+            (pad_r, pad_i), reps=10,
+        )
+        report("mid_fold", ms, {"msps": round(2 * n_dat_m / ms / 1e3, 1)})
+
+    if want("mid_analysis"):
+        ms = timeit2(
+            lambda a, b: polyphase_analysis_padded_fused(
+                (a, b), filt_m, n_chan_m, os_m, time_major=True),
+            (mr, mi), reps=10,
+        )
+        report("mid_analysis", ms, {"msps": round(2 * n_dat_m / ms / 1e3, 1)})
+
+    nbm = n_dat_m // step_m
+    mcr = jax.device_put(
+        rng.standard_normal((2, nbm, n_chan_m)).astype(np.float32))
+    mci = jax.device_put(
+        rng.standard_normal((2, nbm, n_chan_m)).astype(np.float32))
+    if want("mid_synthesis"):
+        ms = timeit2(
+            lambda a, b: polyphase_synthesis_fused(
+                (a, b), L_m, os_m, input_overlap=ov_m,
+                deripple_coeff=filt_m, temporal_taper="tukey",
+                time_major_in=True,
+            ),
+            (mcr, mci), reps=10,
+        )
+        report("mid_synthesis", ms,
+               {"msps_raw_equiv": round(2 * n_dat_m / ms / 1e3, 1)})
+
+    if want("mid_ifft"):
+        nb2 = geom_m.n_blocks(nbm)
+        n_big = geom_m.output_fft_length
+        fp, fq, n1 = plan_big_ifft(n_big, geom_m.output_overlap)
+        fr = jax.device_put(
+            rng.standard_normal((2, nb2, n_big)).astype(np.float32))
+        fi = jax.device_put(
+            rng.standard_normal((2, nb2, n_big)).astype(np.float32))
+        ms = timeit2(
+            lambda a, b: fused_big_ifft_oc(
+                a, b, None, None,
+                shape_key=(n_big, fp, fq, n1, geom_m.output_overlap,
+                           geom_m.fn_width // 2, 7 / 8),
+                has_elem=False,
+            ),
+            (fr, fi), reps=10,
+        )
+        report("mid_ifft", ms, {"nb": nb2})
+
+    if want("mid_fft4096"):
+        g_r = jax.device_put(
+            rng.standard_normal((2, nbm, n_chan_m)).astype(np.float32))
+        g_i = jax.device_put(
+            rng.standard_normal((2, nbm, n_chan_m)).astype(np.float32))
+        ms = timeit2(lambda a, b: cfft.fft(a, b, axis=-1), (g_r, g_i),
+                     reps=10)
+        report("mid_fft4096_composed", ms)
+
+
 if __name__ == "__main__":
-    if "extra" in sys.argv:
+    if "stages" in sys.argv:
+        r3_stages()
+    elif "extra" in sys.argv:
         extra_experiments()
     else:
         main()
