@@ -132,6 +132,8 @@ def _roofline(name, msps):
         "flops_per_sample_fft_optimal": round(f_opt, 1),
         "flops_per_sample_matmul": round(f_mm, 1),
         "sol_msps": round(sol / 1e6, 1),
+        "sol_mem_msps": round(sol_mem / 1e6, 1),
+        "sol_mxu_msps": round(sol_mxu / 1e6, 1),
         "pct_sol": round(100.0 * achieved / sol, 2),
         "tflops_effective": round(achieved * f_opt / 1e12, 3),
         "tflops_executed": round(achieved * f_mm / 1e12, 2),
@@ -143,7 +145,7 @@ def _chain_timer(forward, args, reps):
     """Time ``forward`` with a data dependency between iterations so the
     device executes every repetition serially and XLA cannot elide any of
     them: each step's first input is perturbed by the previous step's
-    scalar carry (``x + c*0``), the host loop enqueues all ``reps`` steps
+    scalar carry (``x + c``), the host loop enqueues all ``reps`` steps
     asynchronously, and only ONE scalar sync crosses the tunnel at the end.
 
     (A ``lax.scan`` harness is the obvious alternative but multiplies
@@ -171,7 +173,7 @@ def _chain_timer(forward, args, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_low(n_dat=2**22, reps=100):
+def bench_low(n_dat=2**23, reps=50):
     import jax
     from ska_pst_dsp_tpu.design import fir
     from ska_pst_dsp_tpu.ops import polyphase_analysis, polyphase_synthesis
@@ -240,7 +242,7 @@ def bench_mid(reps=10):
     n_chan, L, ov = 4096, 512, 128
     filt = fir.design_pfb_fir_filter_two_stage(n_chan, os_f, 28)
     geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
-    n_dat = (2 * ov + 2 * geom.input_keep) * geometry.analysis_step(n_chan, os_f)
+    n_dat = (2 * ov + 4 * geom.input_keep) * geometry.analysis_step(n_chan, os_f)
     rng = np.random.default_rng(0)
     xr = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
     xi = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))

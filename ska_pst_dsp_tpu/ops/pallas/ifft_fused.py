@@ -117,7 +117,7 @@ def fused_big_ifft(
     kb = 1
     while (
         kb < 8
-        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 6 * 1024 * 1024
+        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 4 * 1024 * 1024
     ):
         kb *= 2
     b_pad = -(-n_blocks // kb) * kb
