@@ -157,20 +157,20 @@ def _kernel(
         # folded[p, k = K*A + a] = accs[a][p, K]
         return jnp.stack(accs, axis=2).reshape(2 * tile_k, block)
 
-    fr = fold(xbr)
-    fi = fold(xbi)
-
     # bare-bf16 MXU passes give ~3e-3 relative error — far above the −60 dB
     # purity floor — so the DFT GEMMs run split-bf16x3 in the Karatsuba
-    # 3-multiplication complex form (cfft.kar_dot): 25% fewer MXU flops
-    # than the (2n x 2n) block-matrix GEMM
-    consts = (
-        (drh_ref[:], drl_ref[:]),
-        (dih_ref[:], dil_ref[:]),
-        (dsh_ref[:], dsl_ref[:]),
-    )
+    # 3-multiplication complex form (cfft.kar_dot expanded inline): 25%
+    # fewer MXU flops than the (2n x 2n) block-matrix GEMM. The t1 GEMM is
+    # issued between the two VPU folds so Mosaic can overlap MXU and VPU
+    # work instead of serializing fold_r, fold_i, then all GEMMs.
     dn = (((1,), (0,)), ((), ()))
-    re, im = cfft.kar_dot(fr, fi, consts, dn)
+    fr = fold(xbr)
+    t1 = cfft._dot1(fr, drh_ref[:], drl_ref[:], dn)
+    fi = fold(xbi)
+    t2 = cfft._dot1(fi, dih_ref[:], dil_ref[:], dn)
+    t3 = cfft._dot1(fr + fi, dsh_ref[:], dsl_ref[:], dn)
+    re = t1 - t2
+    im = t3 - t1 - t2
     sr = (re * block).reshape(2, tile_k, block)
     si = (im * block).reshape(2, tile_k, block)
 
