@@ -227,9 +227,10 @@ def bench_low(n_dat=2**23, reps=50):
 def bench_mid(reps=10):
     """SKA-Mid production geometry: 4096 ch, 100353-tap padded analysis,
     L=512/ov=128 inversion with the 1.8M-point backward FFT. On TPU the
-    analysis fold runs the fused Pallas kernel (no frame-tensor blow-up)
-    and the inversion frontend runs the fused synthesis kernel with a
-    time-major handoff; the 1.8M-point IFFT stays composed four-step."""
+    analysis fold runs the fused Pallas kernel (no frame-tensor blow-up),
+    the inversion frontend runs the fused synthesis kernel with a
+    time-major handoff, and the 1.8M-point IFFT runs the out-of-core
+    two-kernel Pallas path (ops/pallas/ifft_big)."""
     import jax
     from ska_pst_dsp_tpu.design import fir
     from ska_pst_dsp_tpu.ops import (
@@ -303,6 +304,16 @@ def bench_oracle_cpu(n_dat=2**19):
 
 
 def main():
+    # Guard the FFT GEMM precision mode: bare-bf16 ("default") gives ~3e-3
+    # relative error and FAILS the -60 dB purity floor — numbers produced in
+    # that mode are fast-but-wrong and must never be published silently.
+    precision = os.environ.get("SKA_PST_FFT_PRECISION", "high").lower()
+    if precision not in ("high", "highest"):
+        raise SystemExit(
+            f"refusing to benchmark with SKA_PST_FFT_PRECISION={precision!r}: "
+            "bare-bf16 GEMMs fail the -60 dB purity requirement "
+            "(set 'high' or 'highest')"
+        )
     low = bench_low()
     low_msps = low / 1e6
     try:
@@ -319,6 +330,7 @@ def main():
         "value": round(low_msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(low / baseline, 2) if baseline else None,
+        "fft_precision": precision,
         "roofline": _roofline("low", low_msps),
     }
     if mid_msps is not None:

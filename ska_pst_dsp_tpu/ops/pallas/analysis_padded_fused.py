@@ -145,10 +145,16 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
     n_pol, n_pad = xr.shape
     phases = fl // block
     tile_k, sup_l, sup_a, nrows = _plan(block, step, fl)
-    # every fold row slice must stay inside the span
-    assert (sup_a - 1) * step + (phases - 1) * block <= (
-        nrows - tile_k // sup_a
-    ) * sup_l + sup_l, "span too short for fold terms"
+    # every fold row slice [r, r + ksup) must stay inside the span: the
+    # largest row index touched is max_off // sup_l + ksup - 1 < nrows
+    # (provably true for nrows() as defined in _plan — defensive only)
+    max_off = (sup_a - 1) * step + (phases - 1) * block
+    if max_off // sup_l >= nrows - tile_k // sup_a + 1:
+        raise ValueError(
+            f"padded-fold span too short: max fold offset {max_off} needs "
+            f"row {max_off // sup_l} + {tile_k // sup_a} rows but the span "
+            f"has {nrows}"
+        )
     nblocks_pad = (
         n_pad - (nrows * sup_l + block - tile_k * step)
     ) // (tile_k * step)

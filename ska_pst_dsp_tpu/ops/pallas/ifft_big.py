@@ -63,8 +63,9 @@ _CHUNK = 128  # i1 / delta chunk width (lanes)
 
 def plan_big_ifft(n: int, lo: int) -> Optional[Tuple[int, int, int]]:
     """(p, q, n1) three-factor split usable by the out-of-core epilogue,
-    or None. Wants n1 <= 512 (n1 % 128 == 0), q <= 512 (q % 8 == 0),
-    p <= 8, lo % n2 == 0, and exact fp32 twiddle phases (n1*n2 < 2^24)."""
+    or None. Wants n1 <= 512 (n1 % 128 == 0), q <= 512 (q % 128 == 0:
+    the delta axis chunks at _CHUNK lanes), p <= 8, lo % n2 == 0, and
+    exact fp32 twiddle phases (n1*n2 < 2^24)."""
     try:
         n1 = cfft._split_factor(n)
     except ValueError:

@@ -217,7 +217,13 @@ def _fused_synthesis(
         xs = jnp.swapaxes(xs, -1, -2)  # (2, P, T, C)
 
     # tail blocks of the last kb-group read clamped (in-bounds) garbage and
-    # are discarded — no pad copy of the stream (see _kernel)
+    # are discarded — no pad copy of the stream (see _kernel). The clamp
+    # arithmetic needs n_dat >= L (else t_max goes negative) and keep % 8
+    # == 0 (checked above) to keep the sublane DMA offset aligned.
+    if n_dat < L:
+        raise ValueError(
+            f"fused synthesis needs at least one frame: n_dat={n_dat} < L={L}"
+        )
     t_max = ((n_dat - L) // 8) * 8
     kern = functools.partial(
         _kernel, L=L, keep=keep, fnw=fnw, c_tile=c_tile, kb=kb, t_max=t_max,
