@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import Tuple
 
 import jax
@@ -53,22 +54,25 @@ _SPAN_BUDGET = 1536 * 1024
 
 def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
     """Choose (TILE_K, L, A, NS2): spectra per grid step, superblock length,
-    blocks per superblock, and VMEM rows per shifted span."""
+    blocks per superblock, and VMEM rows per shifted span. TILE_K / A (the
+    spectra per shift, = the scratch's K rows) must be a multiple of 8 so
+    the fold's K-blocked sublane slices stay 8-aligned."""
     L = math.lcm(step, block)
     A = L // step
     tile = A
 
-    def ns2(t):
-        return t // A + -(-fl // L) + 1
-
+    nc = _n_copies(step, A)
+    cap = int(_os.environ.get("SKA_PST_ANALYSIS_TILE_CAP", "128"))
     while True:
         cand = tile * 2
-        if cand > 1024 or 2 * A * ns2(cand) * L * 4 > _SPAN_BUDGET:
+        if (cand > cap
+                or 2 * nc * (_ns2(cand // A, step, A, fl, L) + 8) * L * 4
+                > _SPAN_BUDGET):
             break
         tile = cand
-    while tile % nu or tile % A:
+    while tile % nu or tile % A or (tile // A) % 8:
         tile += A
-    return tile, L, A, ns2(tile)
+    return tile, L, A, _ns2(tile // A, step, A, fl, L)
 
 
 def _n_copies(step: int, sup_a: int) -> int:
@@ -77,13 +81,34 @@ def _n_copies(step: int, sup_a: int) -> int:
     return min(128 // math.gcd(step, 128), sup_a)
 
 
-def _tail(step: int, sup_a: int, ns2: int, sup_l: int) -> int:
-    """Samples needed past the last tile base: the largest in-kernel DMA
-    offset is (a - a%p)*step within copy c <= p-1, so the input must extend
-    (p-1 + (sup_a-1) - (sup_a-1)%p)*step + the span length."""
-    p = _n_copies(step, sup_a)
-    w = (p - 1) + (sup_a - 1) - (sup_a - 1) % p
-    return w * step + ns2 * sup_l
+def _row_off_max(step: int, sup_a: int, fl: int, sup_l: int) -> int:
+    """Largest span-row offset any fold term's last sample reaches: term
+    (a, m) spans flat offsets [lam_a + m*block, + block) of its span,
+    lam_a = (a - a%n_copies)*step < sup_l being the lane residue the DMA
+    cannot absorb (it shifts rows, and row shifts must stay 8-aligned)."""
+    n_copies = _n_copies(step, sup_a)
+    lam_max = (sup_a - 1 - (sup_a - 1) % n_copies) * step
+    return (lam_max + fl - 1) // sup_l
+
+
+def _ns2(ksup: int, step: int, sup_a: int, fl: int, sup_l: int) -> int:
+    """DMA'd span rows per shift, rounded to 8 (Mosaic requires sublane
+    slice LENGTHS 8-aligned too, not just offsets)."""
+    ro = _row_off_max(step, sup_a, fl, sup_l)
+    return -(-(ksup + ro + 1) // 8) * 8
+
+
+def _fold_geom(step: int, sup_a: int, sup_l: int, fl: int,
+               ksup: int) -> Tuple[int, int]:
+    """(H, NS2_PAD): sublane height of the fold's K-window value loads and
+    the scratch row count. Fold terms for window K ∈ [K8, K8+8) touch
+    span rows [K8 + p, K8 + p + 8) with p ≤ row_off_max, so each window
+    loads H = ceil((row_off_max + 8)/8)*8 rows; the scratch holds
+    max(ksup - 8 + H, NS2) rows (rows past the DMA'd NS2 stay
+    uninitialized — loaded into window values but never multiplied)."""
+    ro = _row_off_max(step, sup_a, fl, sup_l)
+    h = -(-(ro + 8) // 8) * 8
+    return h, max(ksup - 8 + h, _ns2(ksup, step, sup_a, fl, sup_l))
 
 
 def _kernel(
@@ -91,16 +116,27 @@ def _kernel(
     block: int, step: int, phases: int,
     tile_k: int, sup_l: int, sup_a: int, ns2: int, n_copies: int,
 ):
-    # refs: xr copies [0..n_copies), xi copies, f2d (phases, block),
-    # dblk hi/lo (2*block, 2*block), ramp re/im (TILE_K, block),
-    # out re/im (2, TILE_K, block), scratch xbr/xbi (2, A, 2, NS2*L), sems.
-    # Each copy c is the input advanced by c*step samples: in-kernel DMA
-    # lane offsets must be 128-aligned, and only every
-    # (128/gcd(step,128))-th shift is — the rest live in the copies.
+    # refs: xr copies [0..n_copies), xi copies — each (P, NR, sup_l) row-
+    # structured HBM views (free reshape of the flat stream); f2d (phases,
+    # block); Karatsuba DFT hi/lo pairs (block, block); ramp re/im
+    # (TILE_K, block); out re/im (2, TILE_K, block); scratch xbr/xbi
+    # (2, A, 2, NS2_PAD, SUP_L) row-structured spans; fsr/fsi
+    # (2, TILE_K, block) fold staging; sems.
+    #
+    # Each copy c is the input advanced by c*step samples: DMA lane offsets
+    # must be 128-aligned, and only every (128/gcd(step,128))-th shift is —
+    # the rest live in the copies. Each span is ONE aligned rectangular
+    # row DMA (rows r0..r0+ns2 of the 3D view); the remaining aligned lane
+    # residue lam = (a - a%n_copies)*step of each shift is applied in the
+    # FOLD's term addressing (value slices carry no alignment rules), with
+    # terms that straddle a row boundary assembled from two lane pieces of
+    # adjacent row windows. The round-3 kernel's flat spans instead forced
+    # a ~233 KB value per shift whose 13 overlapping slices spilled vector
+    # registers (~6-9 MB/step of spill traffic, half the kernel's time).
     xr_c = refs[:n_copies]
     xi_c = refs[n_copies: 2 * n_copies]
     (f2d_ref, drh_ref, drl_ref, dih_ref, dil_ref, dsh_ref, dsl_ref,
-     rampr_ref, rampi_ref, or_ref, oi_ref, xbr, xbi, sems) = \
+     rampr_ref, rampi_ref, or_ref, oi_ref, xbr, xbi, fsr, fsi, sems) = \
         refs[2 * n_copies:]
 
     t = pl.program_id(1)
@@ -108,23 +144,26 @@ def _kernel(
     n_t = pl.num_programs(1)
     slot = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
+    ksup = tile_k // sup_a
+    h, _ = _fold_geom(step, sup_a, sup_l, phases * block, ksup)
 
-    def dma(step_idx, slot_idx, a, c):
-        hbm, buf = ((xr_c[a % n_copies], xbr), (xi_c[a % n_copies], xbi))[c]
-        # base is a multiple of L (lane-tiling aligned); the aligned part
-        # of the a*step shift rides the DMA offset, the residue lives in
-        # the pre-staged copy (a % n_copies)
-        base = step_idx * tile_k * step + (a - a % n_copies) * step
+    # shifts a and a + n_copies read the SAME span (the sub-span part of
+    # the shift lives in the fold's term addressing), so only one span per
+    # staged copy is ever fetched — sup_a/n_copies times less DMA traffic
+    # than one-span-per-shift
+    def dma(step_idx, slot_idx, cp, c):
+        hbm, buf = ((xr_c[cp], xbr), (xi_c[cp], xbi))[c]
+        r0 = step_idx * ksup
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(2 * pg, 2), pl.ds(base, ns2 * sup_l)],
-            buf.at[slot_idx, a],
-            sems.at[slot_idx, c, a],
+            hbm.at[pl.ds(2 * pg, 2), pl.ds(r0, ns2), :],
+            buf.at[slot_idx, cp, :, pl.ds(0, ns2), :],
+            sems.at[slot_idx, c, cp],
         )
 
     def start(step_idx, slot_idx):
-        for a in range(sup_a):
+        for cp in range(n_copies):
             for c in range(2):
-                dma(step_idx, slot_idx, a, c).start()
+                dma(step_idx, slot_idx, cp, c).start()
 
     # double buffering: the grid iterates t innermost, so each step issues
     # the NEXT step's copies before blocking on its own — DMA rides under
@@ -137,25 +176,49 @@ def _kernel(
     def _():
         start(t + 1, nxt)
 
-    for a in range(sup_a):
+    for cp in range(n_copies):
         for c in range(2):
-            dma(t, slot, a, c).wait()
+            dma(t, slot, cp, c).wait()
 
-    ksup = tile_k // sup_a
     f2d = f2d_ref[:]
 
-    def fold(buf):
-        accs = []
-        for a in range(sup_a):
-            view = buf[slot, a].reshape(2, ns2, sup_l)
-            acc = jnp.zeros((2, ksup, block), jnp.float32)
-            for m in range(phases):
-                ob = m * block
-                p_, rem = divmod(ob, sup_l)  # rem is a multiple of block
-                acc = acc + f2d[m] * view[:, p_: p_ + ksup, rem: rem + block]
-            accs.append(acc)
-        # folded[p, k = K*A + a] = accs[a][p, K]
-        return jnp.stack(accs, axis=2).reshape(2 * tile_k, block)
+    def fold(buf, fs):
+        # K-blocked: each (a, K8) loads one (2, H, sup_l) window value —
+        # small enough to live in vector registers — shifts it per row
+        # offset p on sublanes (one shuffle shared by all terms at that
+        # offset), and accumulates (2, 8, block) FULL-SUBLANE madds.
+        # Output rows k = (K8+k8)*A + a assemble a-minor, so each K8
+        # writes one aligned 8*A-row group into the fold staging scratch.
+        nc128 = block // 128
+        for K8 in range(0, ksup, 8):
+            accs = []
+            for a in range(sup_a):
+                lam = (a - a % n_copies) * step
+                v = buf[slot, a % n_copies, :, K8: K8 + h, :]  # (2, H, sup_l)
+                wins = {}
+
+                def win(p):
+                    if p not in wins:
+                        wins[p] = v[:, p: p + 8, :] if (h > 8 or p) else v
+                    return wins[p]
+
+                # accumulate per 128-lane column: at 128 granularity no
+                # term piece ever straddles a span row (sup_l % 128 == 0),
+                # and the per-column accumulators share one layout so the
+                # final lane concat is trivially lowerable (concat of
+                # mismatched sublane-offset windows is not)
+                cols = [jnp.zeros((2, 8, 128), jnp.float32)
+                        for _ in range(nc128)]
+                for m in range(phases):
+                    for j in range(nc128):
+                        p, lc = divmod(lam + m * block + j * 128, sup_l)
+                        cols[j] = cols[j] + (
+                            f2d[m, j * 128:(j + 1) * 128]
+                            * win(p)[:, :, lc: lc + 128]
+                        )
+                accs.append(jnp.concatenate(cols, axis=2))
+            g = jnp.stack(accs, axis=2).reshape(2, 8 * sup_a, block)
+            fs[:, pl.ds(K8 * sup_a, 8 * sup_a), :] = g
 
     # bare-bf16 MXU passes give ~3e-3 relative error — far above the −60 dB
     # purity floor — so the DFT GEMMs run split-bf16x3 in the Karatsuba
@@ -164,9 +227,11 @@ def _kernel(
     # issued between the two VPU folds so Mosaic can overlap MXU and VPU
     # work instead of serializing fold_r, fold_i, then all GEMMs.
     dn = (((1,), (0,)), ((), ()))
-    fr = fold(xbr)
+    fold(xbr, fsr)
+    fr = fsr[:].reshape(2 * tile_k, block)
     t1 = cfft._dot1(fr, drh_ref[:], drl_ref[:], dn)
-    fi = fold(xbi)
+    fold(xbi, fsi)
+    fi = fsi[:].reshape(2 * tile_k, block)
     t2 = cfft._dot1(fi, dih_ref[:], dil_ref[:], dn)
     t3 = cfft._dot1(fr + fi, dsh_ref[:], dsl_ref[:], dn)
     re = t1 - t2
@@ -193,25 +258,32 @@ def _fused_call(xr, xi, f2d, dkar, rampr, rampi, *, block, step,
     tile_k = rampr.shape[0]
     sup_l = math.lcm(step, block)
     sup_a = sup_l // step
-    ns2 = tile_k // sup_a + -(-fl // sup_l) + 1
-    tail = _tail(step, sup_a, ns2, sup_l)
-    nblocks_pad = (n_pad - tail) // (tile_k * step) + 1
+    ksup = tile_k // sup_a
+    ns2 = _ns2(ksup, step, sup_a, fl, sup_l)
+    _, ns2_pad = _fold_geom(step, sup_a, sup_l, fl, ksup)
+    nblocks_pad = (n_pad // sup_l - ns2) // ksup + 1
 
     # pre-stage only the shifts the DMA engine cannot address: lane offsets
     # must be 128-aligned, so shifts a*step with the same residue mod
     # (128/gcd(step,128)) share one staged copy (copy 0 is the input
     # itself). The round-2 kernel staged all A shifts — for the low config
     # that stack alone cost ~1.1 ms, more than the kernel's own math.
+    # Every copy is viewed ROW-STRUCTURED (P, NR, sup_l) — a free reshape —
+    # so the kernel's rectangular piece DMAs can address rows directly.
     n_copies = _n_copies(step, sup_a)
-    n_shift = (nblocks_pad - 1) * tile_k * step + ns2 * sup_l \
-        + (sup_a - 1 - (sup_a - 1) % n_copies) * step
-    xr_c, xi_c = [xr], [xi]  # copy 0 is the input itself — no staging copy
+    n_rows = (nblocks_pad - 1) * ksup + ns2
+    xr_c = [xr[:, : n_rows * sup_l].reshape(n_pol, n_rows, sup_l)]
+    xi_c = [xi[:, : n_rows * sup_l].reshape(n_pol, n_rows, sup_l)]
     for c in range(1, n_copies):
         xr_c.append(
-            jax.lax.dynamic_slice_in_dim(xr, c * step, n_shift, axis=1)
+            jax.lax.dynamic_slice_in_dim(
+                xr, c * step, n_rows * sup_l, axis=1
+            ).reshape(n_pol, n_rows, sup_l)
         )
         xi_c.append(
-            jax.lax.dynamic_slice_in_dim(xi, c * step, n_shift, axis=1)
+            jax.lax.dynamic_slice_in_dim(
+                xi, c * step, n_rows * sup_l, axis=1
+            ).reshape(n_pol, n_rows, sup_l)
         )
 
     kern = functools.partial(
@@ -250,9 +322,11 @@ def _fused_call(xr, xi, f2d, dkar, rampr, rampi, *, block, step,
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, sup_a, 2, ns2 * sup_l), jnp.float32),
-            pltpu.VMEM((2, sup_a, 2, ns2 * sup_l), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, sup_a)),
+            pltpu.VMEM((2, n_copies, 2, ns2_pad, sup_l), jnp.float32),
+            pltpu.VMEM((2, n_copies, 2, ns2_pad, sup_l), jnp.float32),
+            pltpu.VMEM((2, tile_k, block), jnp.float32),
+            pltpu.VMEM((2, tile_k, block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, n_copies)),
         ],
         interpret=interpret,
     )(*xr_c, *xi_c, f2d, *dkar, rampr, rampi)
@@ -306,8 +380,12 @@ def polyphase_analysis_fused(
     pol_pad = n_pol % 2
     nblocks = (n_dat - fl) // step
     nblocks_pad = max(1, -(-nblocks // tile_k))
-    tail = _tail(step, sup_a, ns2, sup_l)
-    n_pad = (nblocks_pad - 1) * tile_k * step + tail
+    # row-structured coverage: the kernel's piece DMAs read rows up to
+    # (nblocks_pad-1)*ksup + ns2 of each staged copy, and copy c starts
+    # c*step into the stream
+    ksup = tile_k // sup_a
+    n_rows = (nblocks_pad - 1) * ksup + ns2
+    n_pad = n_rows * sup_l + (_n_copies(step, sup_a) - 1) * step
     pad = max(0, n_pad - n_dat)
     if pad > 0 or pol_pad:
         xr = jnp.pad(jnp.asarray(xr), [(0, pol_pad), (0, pad)])[:, :n_pad]

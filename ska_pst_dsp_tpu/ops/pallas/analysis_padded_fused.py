@@ -200,15 +200,14 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
 )
 def _padded_fused_core(xr, xi, f2d_rev, *, block, step, k0, delay, nblocks,
                        time_major, interpret):
+    from .chan_dft_fused import KB, chan_dft_ramp, plan_chan_dft
+
     fl = f2d_rev.shape[0] * block
     gr, gi = _fold_call(xr, xi, f2d_rev, block=block, step=step, fl=fl,
                         interpret=interpret)
-    gr = gr[:, :nblocks]
-    gi = gi[:, :nblocks]
     # reverse+ifft+block^2 == block * e^{-2pi i q/block} * fft (see module
     # docstring); the phase merges with the derotation ramp into ONE
     # elementwise constant over (k mod nu, q)
-    sr, si = cfft.fft(gr, gi, axis=-1)
     nu = block // math.gcd(block, step)
     rr, ri = _analysis._phase_ramp(block, step, nu, k0)  # (nu, block)
     q = np.arange(block)
@@ -216,11 +215,26 @@ def _padded_fused_core(xr, xi, f2d_rev, *, block, step, k0, delay, nblocks,
     pi_ = (block * np.sin(-2.0 * np.pi * q / block)).astype(np.float64)
     cr = (rr.astype(np.float64) * pr - ri.astype(np.float64) * pi_)
     ci = (rr.astype(np.float64) * pi_ + ri.astype(np.float64) * pr)
-    reps = -(-nblocks // nu)
-    cr = np.tile(cr, (reps, 1))[:nblocks].astype(np.float32)
-    ci = np.tile(ci, (reps, 1))[:nblocks].astype(np.float32)
-    outr = sr * cr - si * ci
-    outi = sr * ci + si * cr
+    if plan_chan_dft(block) is not None and KB % nu == 0:
+        # fused DFT+ramp kernel: consumes the fold's tail-padded stream
+        # directly (its own tiles are KB spectra; the ramp constant
+        # repeats every nu | KB rows, so one (KB, block) constant serves
+        # every tile) and emits channel-ordered ramped spectra with no
+        # full-stream transposes
+        ckr = np.tile(cr, (KB // nu, 1)).astype(np.float32)
+        cki = np.tile(ci, (KB // nu, 1)).astype(np.float32)
+        outr, outi = chan_dft_ramp(
+            gr, gi, ckr, cki, block=block, interpret=interpret
+        )
+        outr = outr[:, :nblocks]
+        outi = outi[:, :nblocks]
+    else:
+        sr, si = cfft.fft(gr[:, :nblocks], gi[:, :nblocks], axis=-1)
+        reps = -(-nblocks // nu)
+        crt = np.tile(cr, (reps, 1))[:nblocks].astype(np.float32)
+        cit = np.tile(ci, (reps, 1))[:nblocks].astype(np.float32)
+        outr = sr * crt - si * cit
+        outi = sr * cit + si * crt
     if delay:
         outr = jnp.roll(outr, -delay, axis=1)
         outi = jnp.roll(outi, -delay, axis=1)

@@ -1,0 +1,193 @@
+"""Fused per-spectrum channel DFT + derotation ramp for the padded (SKA-
+Mid) analysis — the stage between the fold kernel and the synthesis.
+
+The composed path runs the 4096-point DFT through cfft's generic four-step
+(ops/cfft.py _fft_last): its inner transform contracts K = 8 on the MXU
+(~6 % utilization) and its output interleave costs two full-stream XLA
+transposes — together the dominant cost of the mid analysis. This kernel
+runs the whole stage as ONE pallas_call over (pol, KB-spectra tiles):
+
+  * block = 8 * b1 splits every spectrum's lanes into 8 aligned b1-wide
+    slices (free value slicing);
+  * the radix-8 inner DFT over those slices runs as an unrolled
+    split-complex DIT butterfly network on the VPU (trivial twiddles:
+    1, ±i, sqrt2/2(±1±i));
+  * the N-level twiddle rides an (8, b1) constant;
+  * the outer b1-point DFT is one fat Karatsuba split-bf16x3 GEMM per k2
+    digit (M = KB spectra, K = N = b1 — full MXU tiles);
+  * stacking the 8 per-k2 results on a new minor lane axis lands the
+    lanes at position 8*k1 + k2 — which IS channel k2 + 8*k1: the
+    channel-order interleave that costs the composed path two full-stream
+    transposes is one in-register lane stack here;
+  * the derotation ramp (and the padded analysis' reverse-then-IFFT
+    equivalence phase, see analysis_padded_fused) multiplies as a
+    (KB, block) constant — KB % nu == 0 makes it the same for every tile.
+
+Requires block = 8*b1 with b1 % 128 == 0, b1 <= 512 (mid: 4096 = 8*512).
+Reference: polyphase_analysis_padded.m:113-153's per-block IFFT role.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cfft
+
+KB = 32  # spectra per grid step (multiple of every production nu)
+
+
+def plan_chan_dft(block: int) -> Optional[Tuple[int, int]]:
+    """(8, b1) split usable by the fused channel DFT, or None."""
+    if block % 8:
+        return None
+    b1 = block // 8
+    if b1 % 128 or b1 > 512:
+        return None
+    return 8, b1
+
+
+_SQ = np.float64(np.sqrt(0.5))
+#: w8^k = e^{-2pi i k/8} for k = 0..3 as (re, im) host constants
+_W8 = ((1.0, 0.0), (_SQ, -_SQ), (0.0, -1.0), (-_SQ, -_SQ))
+
+
+def _cmul_const(ar, ai, cr, ci):
+    """(ar + i ai) * (cr + i ci) with host-constant c — special-cased for
+    the trivial eighth roots so ±1/±i multiplies emit no FMA at all."""
+    if (cr, ci) == (1.0, 0.0):
+        return ar, ai
+    if (cr, ci) == (-1.0, 0.0):
+        return -ar, -ai
+    if (cr, ci) == (0.0, -1.0):
+        return ai, -ar
+    if (cr, ci) == (0.0, 1.0):
+        return -ai, ar
+    if ci == 0.0:
+        return ar * cr, ai * cr
+    if cr == 0.0:
+        return -ai * ci, ar * ci
+    return ar * cr - ai * ci, ar * ci + ai * cr
+
+
+def _dft2(a, b):
+    return (a[0] + b[0], a[1] + b[1]), (a[0] - b[0], a[1] - b[1])
+
+
+def _dft4(xs):
+    """4-point DIT DFT of split-complex pairs (twiddle w4^1 = -i)."""
+    e0, e1 = _dft2(xs[0], xs[2])
+    o0, o1 = _dft2(xs[1], xs[3])
+    t1 = _cmul_const(o1[0], o1[1], 0.0, -1.0)
+    return [
+        (e0[0] + o0[0], e0[1] + o0[1]),
+        (e1[0] + t1[0], e1[1] + t1[1]),
+        (e0[0] - o0[0], e0[1] - o0[1]),
+        (e1[0] - t1[0], e1[1] - t1[1]),
+    ]
+
+
+def _dft8(xs: List[Tuple]) -> List[Tuple]:
+    """8-point DIT DFT: b[k] = sum_n xs[n] e^{-2pi i n k / 8}."""
+    ev = _dft4([xs[0], xs[2], xs[4], xs[6]])
+    od = _dft4([xs[1], xs[3], xs[5], xs[7]])
+    out = [None] * 8
+    for k in range(4):
+        tr, ti = _cmul_const(od[k][0], od[k][1], *_W8[k])
+        out[k] = (ev[k][0] + tr, ev[k][1] + ti)
+        out[k + 4] = (ev[k][0] - tr, ev[k][1] - ti)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(block: int, b1: int):
+    """Twiddle W[k2, m1] = e^{-2pi i m1 k2 / block} (f32) and the outer
+    b1-point forward DFT matrix as a Karatsuba split-bf16 triple."""
+    k2, m1 = np.meshgrid(np.arange(8), np.arange(b1), indexing="ij")
+    ang = -2.0 * np.pi * (m1.astype(np.float64) * k2) / block
+    tw_r = np.cos(ang).astype(np.float32)
+    tw_i = np.sin(ang).astype(np.float32)
+    j, k = np.meshgrid(np.arange(b1), np.arange(b1), indexing="ij")
+    ang = -2.0 * np.pi * ((j * k) % b1) / b1
+    outer = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
+    return tw_r, tw_i, outer
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
+    """(P, NB, block) folded spectra → ramped channelized spectra, NB
+    padded to KB internally (tail tiles compute garbage the caller keeps
+    or slices — no pad/slice copy when NB % KB == 0)."""
+    d8b1 = plan_chan_dft(block)
+    assert d8b1 is not None
+    _, b1 = d8b1
+    n_pol, nb, _ = gr.shape
+    nb_pad = -(-nb // KB) * KB
+    if nb_pad != nb:
+        pad = [(0, 0), (0, nb_pad - nb), (0, 0)]
+        gr = jnp.pad(gr, pad)
+        gi = jnp.pad(gi, pad)
+    tw_r, tw_i, outer = _constants(block, b1)
+
+    def kern(gr_ref, gi_ref, twr_ref, twi_ref,
+             o1h, o1l, o2h, o2l, o3h, o3l, cr_ref, ci_ref,
+             outr_ref, outi_ref):
+        xr = gr_ref[0]   # (KB, block)
+        xi = gi_ref[0]
+        xs = [
+            (xr[:, i * b1:(i + 1) * b1], xi[:, i * b1:(i + 1) * b1])
+            for i in range(8)
+        ]
+        bs = _dft8(xs)                       # 8 x (KB, b1) split pairs
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
+        dn = (((1,), (0,)), ((), ()))
+        outs_r, outs_i = [], []
+        for k2 in range(8):
+            br, bi = bs[k2]
+            tr = twr[k2]                     # (b1,) row of the value
+            ti = twi[k2]
+            ar = br * tr - bi * ti
+            ai = br * ti + bi * tr
+            yr, yi = cfft.kar_dot(ar, ai, outer_c, dn)   # (KB, b1)
+            outs_r.append(yr)
+            outs_i.append(yi)
+        # lane-stack the k2 digit minor: position 8*k1 + k2 == channel
+        xr_all = jnp.stack(outs_r, axis=-1).reshape(KB, block)
+        xi_all = jnp.stack(outs_i, axis=-1).reshape(KB, block)
+        rr = cr_ref[:]
+        ri = ci_ref[:]
+        outr_ref[0] = xr_all * rr - xi_all * ri
+        outi_ref[0] = xr_all * ri + xi_all * rr
+
+    spec_x = pl.BlockSpec((1, KB, block), lambda p, b: (p, b, 0),
+                          memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda p, b: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    consts = [tw_r, tw_i,
+              outer[0][0], outer[0][1], outer[1][0], outer[1][1],
+              outer[2][0], outer[2][1]]
+    consts = [jnp.asarray(m) for m in consts]
+    outr, outi = pl.pallas_call(
+        kern,
+        grid=(n_pol, nb_pad // KB),
+        in_specs=[spec_x, spec_x] + [cspec(m.shape) for m in consts]
+        + [cspec(cr.shape), cspec(ci.shape)],
+        out_specs=[spec_x, spec_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pol, nb_pad, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, nb_pad, block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gr, gi, *consts, jnp.asarray(cr), jnp.asarray(ci))
+    return outr[:, :nb], outi[:, :nb]

@@ -20,14 +20,28 @@ with every elementwise factor folded into the kernel's constant matrices:
   * the spectral taper / optional spectral filter (dedispersion chirp) fold
     into one complex elementwise constant applied before the inner GEMM.
 
-Both GEMMs contract along sublanes (dot_general ((0,),(0,))) against
-split-bf16x3 constants, and the second GEMM puts the kept-k1 axis first by
-operand order — no transposes anywhere; the (n1_keep, n2) output tiles
-flatten to the kept time series as a free reshape. Applicable when
-N = n2*n1 with n1 <= 512, n2 <= 512, n2 % 8 == 0, n1 % 128 == 0 and
-output_overlap % n2 == 0 (true for the low config: 49152 = 96*512,
-overlap 9216 = 96*96); callers fall back to the composed path otherwise
-(e.g. mid's 1.8M-point IFFT, whose blocks exceed VMEM).
+Orientation (the round-4 redesign — zero transposes anywhere, in XLA or in
+kernel): the inner n2-point DFT contracts SUBLANES of both operands
+(dot_general ((0,),(0,)) against the symmetric DFT matrix), so its output
+lands TRANSPOSED as (m1, k2) with the kb batched blocks stacked on
+sublanes — M = kb*n1 rows, the fattest possible GEMM. The per-block
+twiddle multiplies an (n1, n2) constant, and the outer n1-point DFT runs
+const-first sublane-contraction per block, emitting (k1_keep, k2) — which
+IS the kept time series t = k2 + n2*k1 in row-major order, so the final
+reshape is free. The factorization prefers the SMALLEST n2 that is a
+multiple of 128 (n = 49152 → n2 = 128, n1 = 384): both GEMMs keep K ∈
+{128, 384} and full-height M, where the previous (96, 512) split ran a
+96-row inner and needed a kept-output transpose in XLA. All GEMMs are
+split-bf16x3 Karatsuba 3-multiplication complex products (cfft.kar_dot).
+
+Ragged tails: callers may pass MORE trailing blocks than are valid (e.g.
+the fused synthesis frontend's kb-group padding) — tail blocks compute
+garbage that the caller slices off, and no pad/slice copy of the spectra
+ever happens.
+
+Applicable when N = n2*n1 with n2 % 128 == 0, n2 <= 512, n1 <= 512,
+n1 % 8 == 0, lo % n2 == 0 and (N-2lo) % n2 == 0; callers fall back to the
+out-of-core path (ifft_big) or composed XLA otherwise.
 """
 
 from __future__ import annotations
@@ -45,39 +59,46 @@ from .. import cfft
 
 
 def plan_ifft(n: int, lo: int) -> Optional[Tuple[int, int]]:
-    """(n2, n1) factorization usable by the fused epilogue, or None."""
-    try:
-        n1 = cfft._split_factor(n)
-    except ValueError:
+    """(n2, n1) factorization usable by the fused epilogue, or None.
+    Smallest n2 that is a multiple of 128 wins: the inner GEMM's M is
+    kb*n1 (bigger n1 = fatter) and both contraction dims stay >= 128."""
+    if (n - 2 * lo) <= 0:
         return None
-    n2 = n // n1
-    if n1 > 512 or n2 > 512 or n2 % 8 or n1 % 128:
-        return None
-    if lo % n2 or (n - 2 * lo) <= 0:
-        return None
-    return n2, n1
+    for n2 in range(128, 513, 128):
+        if n % n2:
+            continue
+        n1 = n // n2
+        if n1 > 512 or n1 % 8:
+            continue
+        if lo % n2 or (n - 2 * lo) % n2:
+            continue
+        if ((n - 2 * lo) // n2) % 8:
+            continue
+        return n2, n1
+    return None
 
 
 @functools.lru_cache(maxsize=None)
 def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
     """Host-side constants with the roll modulation and gain folded in:
     Karatsuba split-bf16 triples (see cfft.karatsuba_consts) for the inner
-    (n2, n2) and outer (n1, n1_keep) DFT matrices, plus the (n2, n1)
-    float32 twiddle."""
+    (n2, n2) and outer (n1, n1_keep) DFT matrices, plus the (n1, n2)
+    float32 twiddle (transposed orientation — see module docstring)."""
     k1_lo = lo // n2
     n1_keep = (n - 2 * lo) // n2
 
-    # inner inverse DFT over n2: D2[j, k] = exp(+2πi jk/n2)
+    # inner inverse DFT over n2: D2[m2, k2] = exp(+2πi m2 k2 / n2) — the
+    # sublane-contraction dot needs m2 on dim 0, and D2 is symmetric
     j, k = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
     ang = 2.0 * np.pi * ((j * k) % n2) / n2
     inner = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
 
-    # twiddle W[k2, m1] = exp(+2πi m1 k2 / n) carrying gain/n and the k2
+    # twiddle W[m1, k2] = exp(+2πi m1 k2 / n) carrying gain/n and the k2
     # part of the roll modulation v[k2] = exp(-2πi roll k2 / n)
-    k2, m1 = np.meshgrid(np.arange(n2), np.arange(n1), indexing="ij")
+    m1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
     ang = 2.0 * np.pi * (m1.astype(np.float64) * k2) / n
     vang = -2.0 * np.pi * roll * np.arange(n2, dtype=np.float64) / n
-    w = np.exp(1j * ang) * (gain / n) * np.exp(1j * vang)[:, None]
+    w = np.exp(1j * ang) * (gain / n) * np.exp(1j * vang)[None, :]
     tw_r = np.real(w).astype(np.float32)
     tw_i = np.imag(w).astype(np.float32)
 
@@ -93,7 +114,7 @@ def _constants(n: int, n2: int, n1: int, lo: int, roll: int, gain: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape_key", "has_elem", "interpret")
+    jax.jit, static_argnames=("shape_key", "has_elem", "n_valid", "interpret")
 )
 def fused_big_ifft(
     flatr, flati,              # (P, B, N) assembled (unrolled) spectra
@@ -101,24 +122,29 @@ def fused_big_ifft(
     *,
     shape_key,                 # (n, n2, n1, lo, roll, gain) — static
     has_elem: bool = False,
+    n_valid: Optional[int] = None,
     interpret: bool = False,
 ):
     """Fused IFFT(roll(X·elem, -roll))·gain, keeping [lo, N-lo).
-    Returns (P, B, keep) kept time series as (re, im)."""
+    Returns (P, n_valid, keep) kept time series as (re, im); blocks past
+    ``n_valid`` (default all) are tail padding and are never returned."""
     n, n2, n1, lo, roll, gain = shape_key
     n_pol, n_blocks, n_flat = flatr.shape
     assert n_flat == n
+    if n_valid is None:
+        n_valid = n_blocks
     n1_keep = (n - 2 * lo) // n2
     (i_b, (tw_r, tw_i), o_b) = _constants(n, n2, n1, lo, roll, gain)
 
     # batch KB blocks per grid step and feed them to SHARED fat GEMMs:
     # per-GEMM launch overhead dominated the round-2 kernel (48 skinny
-    # launches/step measured ~5x slower than the GEMM flops justify)
+    # launches/step measured ~5x slower than the GEMM flops justify).
+    # VMEM per block: in tiles (2 comps x 2 pipeline buffers), out tiles
+    # (same), and the kb-tiled twiddle pair.
+    per_kb = (2 * 2 * n2 * n1 + 2 * 2 * n1_keep * n2 + 2 * n1 * n2) * 4
+    fixed = (3 * 2 * n2 * n2 + 3 * 2 * n1 * n1_keep) * 2
     kb = 1
-    while (
-        kb < 8
-        and 2 * (kb * 2) * (n2 * n1 + n1_keep * n2) * 4 <= 4 * 1024 * 1024
-    ):
+    while kb < 8 and 2 * kb * per_kb + fixed <= 14 * 1024 * 1024:
         kb *= 2
     b_pad = -(-n_blocks // kb) * kb
 
@@ -134,11 +160,10 @@ def fused_big_ifft(
              twr_ref, twi_ref,
              o1h, o1l, o2h, o2l, o3h, o3l,
              er_ref, ei_ref, outr_ref, outi_ref):
-        # every GEMM keeps the WIDE axis in the lanes; the kb blocks ride
-        # side-by-side in the lanes of the inner GEMMs (lane-concat at n1
-        # offsets is aligned and free). Both stages use the Karatsuba
-        # 3-multiplication complex product (cfft.kar_dot) — 25% fewer MXU
-        # flops than the block-matrix form.
+        # the kb blocks ride side-by-side in the LANES of the inner GEMMs
+        # (lane-concat at n1 offsets is aligned and free); the sublane
+        # contraction then lands them stacked on SUBLANES of the (kb*n1,
+        # n2) transposed result — no operand or result is ever transposed
         re_all = jnp.concatenate(
             [xr_ref[0, b] for b in range(kb)], axis=1)   # (n2, kb*n1)
         im_all = jnp.concatenate(
@@ -150,24 +175,28 @@ def fused_big_ifft(
                 re_all * ei + im_all * er,
             )
         inner_c = ((i1h[:], i1l[:]), (i2h[:], i2l[:]), (i3h[:], i3l[:]))
-        dn_left = (((1,), (0,)), ((), ()))
-        br, bi = cfft.kar_dot(
-            re_all, im_all, inner_c, dn_left, const_first=True
-        )                                                # (n2, kb*n1)
-        tr, ti = twr_ref[:], twi_ref[:]                  # (n2, kb*n1) tiled
+        dn00 = (((0,), (0,)), ((), ()))
+        br, bi = cfft.kar_dot(re_all, im_all, inner_c, dn00)  # (kb*n1, n2)
+        tr, ti = twr_ref[:], twi_ref[:]                  # (kb*n1, n2) tiled
         cr = br * tr - bi * ti
         ci = br * ti + bi * tr
-        # the kb blocks stack on SUBLANES for one fat outer GEMM
-        # (M = kb*n2 rows instead of kb skinny M = n2 launches)
+        # regroup the kb blocks from sublane-stacked (kb*n1, n2) to
+        # lane-stacked (n1, kb*n2) — the slices are n1-aligned (n1 % 8
+        # == 0) so all pieces share one layout and the lane concat is
+        # free — then run ONE fat outer GEMM for all kb blocks (the
+        # per-block form costs kb*9 skinny dot launches per grid step)
         cr2 = jnp.concatenate(
-            [cr[:, b * n1:(b + 1) * n1] for b in range(kb)], axis=0)
+            [cr[b * n1:(b + 1) * n1] for b in range(kb)], axis=1)
         ci2 = jnp.concatenate(
-            [ci[:, b * n1:(b + 1) * n1] for b in range(kb)], axis=0)
+            [ci[b * n1:(b + 1) * n1] for b in range(kb)], axis=1)
         outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
-        dn = (((1,), (0,)), ((), ()))
-        kr, ki = cfft.kar_dot(cr2, ci2, outer_c, dn)     # (kb*n2, n1_keep)
-        outr_ref[0] = kr.reshape(kb, n2, n1_keep)
-        outi_ref[0] = ki.reshape(kb, n2, n1_keep)
+        # outer: const-first sublane contraction → (n1_keep, kb*n2); per
+        # block the (n1_keep, n2) tile IS the kept samples t = k2 + n2*k1
+        # in row-major order
+        kr, ki = cfft.kar_dot(cr2, ci2, outer_c, dn00, const_first=True)
+        for b in range(kb):
+            outr_ref[0, b] = kr[:, b * n2:(b + 1) * n2]
+            outi_ref[0, b] = ki[:, b * n2:(b + 1) * n2]
 
     grid = (n_pol, b_pad // kb)
     spec_in = pl.BlockSpec((1, kb, n2, n1), lambda p, b: (p, b, 0, 0),
@@ -184,17 +213,15 @@ def fused_big_ifft(
         e_r = jnp.ones((8, 128), jnp.float32)
         e_i = jnp.zeros((8, 128), jnp.float32)
 
-    tw_rt = np.tile(tw_r, (1, kb))
-    tw_it = np.tile(tw_i, (1, kb))
     const_args = (
         [i_b[0][0], i_b[0][1], i_b[1][0], i_b[1][1], i_b[2][0], i_b[2][1]]
-        + [tw_rt, tw_it]
+        + [np.tile(tw_r, (kb, 1)), np.tile(tw_i, (kb, 1))]
         + [o_b[0][0], o_b[0][1], o_b[1][0], o_b[1][1], o_b[2][0], o_b[2][1]]
     )
     const_args = [jnp.asarray(m) for m in const_args]
     const_specs = [cspec(m.shape) for m in const_args]
 
-    out_spec = pl.BlockSpec((1, kb, n2, n1_keep), lambda p, b: (p, b, 0, 0),
+    out_spec = pl.BlockSpec((1, kb, n1_keep, n2), lambda p, b: (p, b, 0, 0),
                             memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(
         kern,
@@ -205,18 +232,16 @@ def fused_big_ifft(
         ),
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, b_pad, n2, n1_keep), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad, n1_keep, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad, n1_keep, n2), jnp.float32),
         ],
         interpret=interpret,
     )(x3r, x3i, *const_args, e_r, e_i)
 
-    # kept samples are t = k2 + n2*k1: transpose the small (n2, n1_keep)
-    # tiles to [k1, k2] order (one cheap XLA pass over the kept output only)
+    # kept samples t = k2 + n2*k1 are exactly the (k1, k2) row-major tile
+    # layout — the reshape is free, no transpose
     keep = n1_keep * n2
-    outr = outr[:, :n_blocks]
-    outi = outi[:, :n_blocks]
     return (
-        jnp.swapaxes(outr, -1, -2).reshape(n_pol, n_blocks, keep),
-        jnp.swapaxes(outi, -1, -2).reshape(n_pol, n_blocks, keep),
+        outr[:, :n_valid].reshape(n_pol, n_valid, keep),
+        outi[:, :n_valid].reshape(n_pol, n_valid, keep),
     )

@@ -272,19 +272,26 @@ def _fused_synthesis(
         from .ifft_big import fused_big_ifft_oc
         from .ifft_fused import fused_big_ifft
 
-        flatr = fnr[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
-        flati = fni[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
         roll = fnw // 2 if spans_nyquist else 0
         er, ei = (elem if elem is not None else (None, None))
         if ifft_plan[0] == "small":
+            # the frontend's kb-group tail padding rides straight through:
+            # the epilogue computes garbage for the pad blocks and returns
+            # only the n_blocks valid ones — no slice/pad copy in between
             n2, n1 = ifft_plan[1:]
+            n_bt_all = fnr.shape[1]
             kr, ki = fused_big_ifft(
-                flatr, flati, er, ei,
+                fnr.reshape(n_pol, n_bt_all, n_big),
+                fni.reshape(n_pol, n_bt_all, n_big),
+                er, ei,
                 shape_key=(n_big, n2, n1, lo, roll, de / nu),
                 has_elem=elem is not None,
+                n_valid=n_blocks,
                 interpret=interpret,
             )
         else:
+            flatr = fnr[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
+            flati = fni[:, :n_blocks].reshape(n_pol, n_blocks, n_big)
             fp, fq, n1 = ifft_plan[1:]
             kr, ki = fused_big_ifft_oc(
                 flatr, flati, er, ei,

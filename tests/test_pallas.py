@@ -123,8 +123,9 @@ class TestFusedSynthesis:
         return ref, got
 
     def test_plan_low_epilogue(self):
-        # low: 49152-point IFFT = 96x512, overlap 9216 = 96*96 — fused
-        assert plan_ifft(49152, 9216) == (96, 512)
+        # low: 49152-point IFFT = 128x384 (smallest 128-multiple n2 wins:
+        # fat kb*n1-row inner, transpose-free kept output), overlap 9216
+        assert plan_ifft(49152, 9216) == (128, 384)
         # mid: 1.8M-point blocks exceed VMEM — composed fallback
         assert plan_ifft(1_835_008, 458_752) is None
 
@@ -313,6 +314,36 @@ class TestFusedPaddedAnalysis:
                 _noise(2, 10_000), filt[:3072], 256, Rational(4, 3),
                 interpret=True,
             )
+
+    def test_fused_chan_dft_path(self):
+        # block=1024, OS 8/7 -> step=896 (step % 128 == 0) and b1=128:
+        # exercises the in-kernel radix-8 + GEMM channel DFT (mid's
+        # 4096 = 8*512 has the same structure); block=512 above falls back
+        # to the composed four-step (b1=64 < 128)
+        from ska_pst_dsp_tpu.ops import polyphase_analysis_padded
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+        from ska_pst_dsp_tpu.ops.pallas.chan_dft_fused import plan_chan_dft
+
+        assert plan_chan_dft(1024) == (8, 128)
+        assert plan_chan_dft(4096) == (8, 512)
+        assert plan_chan_dft(512) is None
+
+        block, os_f = 1024, Rational(8, 7)
+        filt = np.asarray(fir.design_pfb_fir_filter(block, os_f, 4))
+        x = _noise(2, 120_000, seed=6)
+        ref = np.asarray(
+            polyphase_analysis_padded(x, filt, block, os_f)
+        )
+        got = np.asarray(
+            polyphase_analysis_padded_fused(
+                x, filt, block, os_f, interpret=True
+            )
+        )
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
 
 
 class TestOutOfCoreIfft:
