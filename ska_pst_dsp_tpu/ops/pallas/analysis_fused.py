@@ -76,8 +76,14 @@ def _plan(block: int, step: int, fl: int, nu: int) -> Tuple[int, int, int, int]:
 
 
 def _n_copies(step: int, sup_a: int) -> int:
-    """Staged input copies needed: shifts a*step share copy (a mod this),
-    with the 128-aligned remainder riding the in-kernel DMA offset."""
+    """Staged input copies (= spans fetched per grid step): shifts a*step
+    share copy (a mod this). When gcd(step, 128) >= 64 the fold addresses
+    EVERY shift's lane residue itself with 64-lane-granular value columns,
+    so ONE un-staged span serves all shifts (half the DMA traffic and no
+    staged-copy passes); coarser-grained steps fall back to one copy per
+    128-alignment residue class."""
+    if math.gcd(step, 128) >= 64:
+        return 1
     return min(128 // math.gcd(step, 128), sup_a)
 
 
@@ -189,7 +195,6 @@ def _kernel(
         # offset), and accumulates (2, 8, block) FULL-SUBLANE madds.
         # Output rows k = (K8+k8)*A + a assemble a-minor, so each K8
         # writes one aligned 8*A-row group into the fold staging scratch.
-        nc128 = block // 128
         for K8 in range(0, ksup, 8):
             accs = []
             for a in range(sup_a):
@@ -202,19 +207,23 @@ def _kernel(
                         wins[p] = v[:, p: p + 8, :] if (h > 8 or p) else v
                     return wins[p]
 
-                # accumulate per 128-lane column: at 128 granularity no
-                # term piece ever straddles a span row (sup_l % 128 == 0),
-                # and the per-column accumulators share one layout so the
-                # final lane concat is trivially lowerable (concat of
-                # mismatched sublane-offset windows is not)
-                cols = [jnp.zeros((2, 8, 128), jnp.float32)
-                        for _ in range(nc128)]
+                # accumulate per lane column — 128 lanes when this shift's
+                # residue is 128-aligned, 64 otherwise (merged spans put
+                # odd shifts at 64-lane offsets): at column granularity no
+                # term piece ever straddles a span row (column width
+                # divides sup_l), and the per-column accumulators share
+                # one layout so the final lane concat is trivially
+                # lowerable (concat of mismatched sublane-offset windows
+                # is not)
+                w = 128 if lam % 128 == 0 else 64
+                cols = [jnp.zeros((2, 8, w), jnp.float32)
+                        for _ in range(block // w)]
                 for m in range(phases):
-                    for j in range(nc128):
-                        p, lc = divmod(lam + m * block + j * 128, sup_l)
+                    for j in range(block // w):
+                        p, lc = divmod(lam + m * block + j * w, sup_l)
                         cols[j] = cols[j] + (
-                            f2d[m, j * 128:(j + 1) * 128]
-                            * win(p)[:, :, lc: lc + 128]
+                            f2d[m, j * w:(j + 1) * w]
+                            * win(p)[:, :, lc: lc + w]
                         )
                 accs.append(jnp.concatenate(cols, axis=2))
             g = jnp.stack(accs, axis=2).reshape(2, 8 * sup_a, block)

@@ -204,10 +204,14 @@ def sharded_polyphase_synthesis(
     temporal_taper: str = "no_window",
     spectral_taper: str = "no_window",
     spans_nyquist: bool = True,
+    combine: int = 1,
     axis: str = "time",
 ) -> Pair:
     """Time-sharded Golden inversion: each shard inverts its own overlap-save
     blocks after receiving a 2*overlap fine-channel halo from the next shard.
+    ``combine`` applies the combined-inversion channel reordering
+    (polyphase_synthesis.m:198-238) — the permutation is shard-local
+    (channel axis is replicated), so nothing else changes under sharding.
 
     x: (n_pol, n_chan, n_dat) pair/complex with n_dat divisible by
     n_devices*input_keep. Returns the (re, im) pair of
@@ -237,7 +241,11 @@ def sharded_polyphase_synthesis(
         drip = jnp.asarray(drip.astype(np.float32))
     else:
         drip = jnp.ones(geom.fn_width, dtype=jnp.float32)
-    perm = jnp.arange(n_chan, dtype=jnp.int32)
+    from ..ops.synthesis import combine_channel_permutation
+
+    perm = jnp.asarray(
+        combine_channel_permutation(n_chan, combine).astype(np.int32)
+    )
     geom_key = (n_chan, L, input_overlap, os_factor.nu, os_factor.de)
 
     @functools.partial(
