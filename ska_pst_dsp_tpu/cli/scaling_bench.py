@@ -168,6 +168,15 @@ def run(argv=None) -> int:
                 msps / (nd / counts[0] * base_msps["1d"]), 3
             ),
             "efficiency_vs_n": counts[0],
+            # on a VIRTUAL mesh all devices share one host's cores, so
+            # ideal weak scaling holds total throughput CONSTANT; the
+            # retention ratio is the structure-only proxy for scaling
+            # overhead (collectives + resharding added by the N-way
+            # program): >= 0.9 means the sharded program costs <= 10%
+            # over the unsharded one on identical compute
+            "host_throughput_retention": round(
+                msps / base_msps["1d"], 3
+            ),
         }
 
         if nd % 2 == 0:

@@ -267,14 +267,46 @@ def run(argv=None) -> int:
         if a.test:
             from fractions import Fraction
 
+            lc1 = config.analysis_function == "polyphase_analysis_lowcbf"
+            lc2 = two_stage and (
+                (config2 or config).analysis_function
+                == "polyphase_analysis_lowcbf"
+            )
             stages = []
+            lowcbf_flags = []
             if level >= 1:
                 stages.append((n_chan, os1))
+                lowcbf_flags.append(lc1)
             if level >= 2:
                 stages.append((config2.channels, os2))
+                lowcbf_flags.append(lc2)
             resample = None
             db_max = -60.0
             check_bin, guard = True, 0
+            if a.invert and lc1 and not two_stage:
+                # LowCBF inversion reconstructs only the kept sub-band:
+                # output rate KEPT/n of the input, band starting at
+                # fftshifted channel KEPT_LO — the tone maps to
+                # f*(n/KEPT) + (n/2 - KEPT_LO)/KEPT
+                from ..ops.lowcbf import KEPT, KEPT_LO
+
+                resample = (
+                    Fraction(n_chan, KEPT),
+                    Fraction(n_chan // 2 - KEPT_LO, KEPT),
+                )
+            if a.invert and two_stage and lc2 and not a.critical:
+                # stage-2 LowCBF round trip: the tested stream is the
+                # stage-1 coarse channels, each carrying its band-subset
+                # reconstruction at KEPT/n2 rate
+                from ..ops.lowcbf import KEPT, KEPT_LO
+
+                n2c = (config2 or config).channels
+                stages = stages[:1]
+                lowcbf_flags = lowcbf_flags[:1]
+                resample = (
+                    Fraction(n2c, KEPT),
+                    Fraction(n2c // 2 - KEPT_LO, KEPT),
+                )
             if a.invert and a.critical and two_stage:
                 # critical inversion emits at de/nu rate with the
                 # half-fine-channel modulation (polyphase_synthesis.m:253-255
@@ -302,6 +334,7 @@ def run(argv=None) -> int:
                     os2.normalize((config2 or config).channels)
                     if (a.invert and a.critical and two_stage) else 0
                 ),
+                lowcbf_stages=tuple(lowcbf_flags),
             )
     elif signal == "temporal_impulse":
         gen = signals.Impulse(offset=a.offset)
@@ -317,21 +350,39 @@ def run(argv=None) -> int:
                     "the band-limited (chomped) impulse violates the "
                     "+-1-sample criterion by construction"
                 )
+            lc1 = config.analysis_function == "polyphase_analysis_lowcbf"
+            lc2 = two_stage and (
+                (config2 or config).analysis_function
+                == "polyphase_analysis_lowcbf"
+            )
+            if a.invert and (lc1 if not two_stage else lc2):
+                # the LowCBF inversion reconstructs only the kept sub-band
+                # (216/256) at a reduced rate; the band-truncated impulse
+                # position/shape mapping is not modeled by this tester
+                raise ValueError(
+                    "impulse testing after LowCBF inversion is not modeled "
+                    "(band-truncated kept-sub-band reconstruction)"
+                )
             col = support = None
             if level >= 1:
                 # expected peak column of the channelized stream (calibrated
                 # in tests/test_streaming.py): the plain kernel's block k
                 # spans [k*step, k*step+fl) so the peak sits where the filter
                 # center crosses the impulse; the padded kernel has its group
-                # delay removed already.
+                # delay removed already; the LowCBF kernel front-pads
+                # FIRST_CALL_PAD samples, delaying every block by
+                # FIRST_CALL_PAD/step columns.
                 import math as _math
 
+                from ..ops.lowcbf import FIRST_CALL_PAD as _LCPAD
                 from ..utils import geometry as _geometry
 
                 step1 = _geometry.analysis_step(n_chan, os1)
                 fl1 = _geometry.padded_filter_length(filt_coeff.size, n_chan)
                 if config.analysis_function == "polyphase_analysis_padded":
                     t1 = gen.offset / step1
+                elif lc1:
+                    t1 = (gen.offset + _LCPAD - fl1 / 2) / step1
                 else:
                     t1 = (gen.offset - fl1 / 2) / step1
                 support = fl1 // step1 + 2
@@ -341,7 +392,8 @@ def run(argv=None) -> int:
                     step2 = _geometry.analysis_step(nch2, os2)
                     fl2 = _geometry.padded_filter_length(filt2.size, nch2)
                     support = support // step2 + fl2 // step2 + 2
-                    t1 = (t1 - fl2 / 2) / step2
+                    pad2 = _LCPAD if lc2 else 0
+                    t1 = (t1 + pad2 - fl2 / 2) / step2
                 elif two_stage and a.invert:
                     # coarse channels after the stage-2 round trip: the
                     # inverted stream reproduces stage-1 advanced by the

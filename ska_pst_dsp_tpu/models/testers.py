@@ -61,9 +61,14 @@ class TestPureTone:
     def __init__(self, frequency: float, db_max: float = -60.0,
                  stages: Sequence = (), critical: bool = False,
                  resample=None, check_bin: bool = True, guard: int = 0,
-                 combine: int = 1, nch2_critical: int = 0):
+                 combine: int = 1, nch2_critical: int = 0,
+                 lowcbf_stages: Sequence = ()):
         self.frequency = frequency
         self.db_max = db_max
+        #: per-stage flags: stage i is the LowCBF firmware-model filterbank
+        #: (fftshifted channel order, KEPT_LO..KEPT_LO+KEPT kept, the
+        #: quarter-turn derotation adding q/4 to each channel's baseband)
+        self.lowcbf_stages = tuple(lowcbf_stages)
         #: critical inversion with combine>1: the synthesis feeds
         #: ``nch2_critical * combine``-channel slabs through the
         #: combine_channel_permutation — the tone's critical channel moves
@@ -103,11 +108,45 @@ class TestPureTone:
                 f = f * ratio + off
             return None, f
         chans = []
-        for n, os in self.stages:
+        stage_nk = []
+        for i, (n, os) in enumerate(self.stages):
             fb = f * n
             c = int(round(fb)) % n
-            chans.append(c)
             f = (fb - round(fb)) * Fraction(os.de, os.nu)
+            if i < len(self.lowcbf_stages) and self.lowcbf_stages[i]:
+                # LowCBF stage: channels come fftshifted with only
+                # [KEPT_LO, KEPT_LO+KEPT) kept, and the combination of the
+                # firmware's quarter-turn derotation with the hop phase
+                # shifts each channel's baseband content by q/2 (q the
+                # signed fftshifted channel index; measured: odd channels
+                # land half-band rotated, even channels unshifted) — see
+                # ops/lowcbf.py
+                from ..ops import lowcbf as _lowcbf
+
+                q = c - n if c >= n // 2 else c
+                kc = (c + n // 2) % n - _lowcbf.KEPT_LO
+                c = kc if 0 <= kc < _lowcbf.KEPT else None
+                f = f + Fraction(q, 2)
+                nk = _lowcbf.KEPT
+                if (self.critical and i == len(self.stages) - 1
+                        and c is not None):
+                    # models/two_stage chomp of the KEPT channels down to
+                    # the critical count (second write wins at the seam)
+                    target = os.normalize(n)
+                    off = _lowcbf.KEPT - target
+                    half = target // 2
+                    if off > 0:
+                        if c < half - 1:
+                            pass
+                        elif half - 1 + off <= c < target + off:
+                            c -= off
+                        else:
+                            c = None
+                    nk = target
+                stage_nk.append(nk)
+            else:
+                stage_nk.append(n)
+            chans.append(c)
         if self.resample is not None:
             ratio, off = self.resample
             f = f * ratio + off
@@ -142,8 +181,8 @@ class TestPureTone:
         idx: Optional[int] = 0
         total = 1
         for i, ((n, os), c) in enumerate(zip(self.stages, chans)):
-            nk = n
-            if self.critical and i == len(self.stages) - 1:
+            nk = stage_nk[i]
+            if self.critical and i == len(self.stages) - 1 and nk == n:
                 c = critical_chomp_index(c, n, os)
                 nk = os.normalize(n)
             if c is None:

@@ -42,69 +42,84 @@ from .. import analysis as _analysis
 from .. import cfft
 
 #: VMEM budget for the double-buffered DMA spans (bytes).
-_SPAN_BUDGET = 7 * 1024 * 1024
+_SPAN_BUDGET = 7 * 1024 * 1024 + 512 * 1024
+
+
+def _geom(block: int, step: int, fl: int):
+    """(W, D, H): span row width gcd(step, block) (all fold-term offsets
+    are multiples of it), rows per term block//W, and the aligned window
+    height each term is sliced from (term row phases run 0..7)."""
+    w = math.gcd(step, block)
+    d = block // w
+    h = -(-(7 + d) // 8) * 8
+    return w, d, h
 
 
 def _plan(block: int, step: int, fl: int):
-    """Choose (TILE_K, SUP_L, SUP_A, NROWS): outputs per grid step, view
-    row length, outputs per superblock, and span rows. Scratch rows are
-    SUP_L + block wide — consecutive rows OVERLAP by one block, so every
-    fold term x[k*step + m*block + j] sits whole inside one row (no
-    row-crossing concat, which Mosaic cannot lower for offset-mismatched
-    ref slices)."""
+    """Choose (TILE_K, SUP_L, SUP_A, NS): outputs per grid step, superblock
+    length, outputs per superblock, and W-wide span rows per grid step.
+    The span is W-row-structured (W = gcd(step, block), a multiple of 128
+    for every supported geometry): each fold term x[k*step + m*block + j]
+    is then a FULL-SUBLANE (2, D, W) slice of an 8-aligned (2, H, W)
+    window — the round-3 per-(sup_l+block)-row layout put the 2-pol axis
+    in the sublanes and ran the whole fold at 25% VPU utilization
+    (measured 6.9 of the mid analysis' 8.5 ms)."""
     sup_l = math.lcm(step, block)
     sup_a = sup_l // step
+    w, d, h = _geom(block, step, fl)
 
-    def nrows(t):
-        return -(-((t - 1) * step + fl) // sup_l)
+    def ns(t):
+        r_max = ((sup_a - 1) * step + (phases_of(fl, block) - 1) * block
+                 + (t // sup_a - 1) * sup_l) // w
+        return -(-(r_max + h) // 8) * 8
 
     tile = sup_a
     while True:
         cand = tile * 2
         if (cand > 512
-                or 2 * 2 * 2 * nrows(cand) * (sup_l + block) * 4
+                or 2 * 2 * 2 * (ns(cand) + cand * step // w) * w * 4
                 > _SPAN_BUDGET):
             break
         tile = cand
-    return tile, sup_l, sup_a, nrows(tile)
+    return tile, sup_l, sup_a, ns(tile)
+
+
+def phases_of(fl: int, block: int) -> int:
+    return fl // block
 
 
 def _kernel(
-    x_r, x_i,                # (P, n_pad) ANY/HBM, P even, front fl zeros
-    f2d_ref,                 # (phases, block) VMEM — REVERSED filter
-    or_ref, oi_ref,          # out (2, TILE_K, block) VMEM
-    bufr, bufi,              # scratch (2 slots, NROWS, 2, SUP_L+block) VMEM
-    sems,                    # DMA semaphores (2 slots, 2, NROWS)
+    x_r, x_i,                # (P, R, W) ANY/HBM row views, front fl zeros
+    f2d_ref,                 # (phases, D, W) VMEM — REVERSED filter
+    or_ref, oi_ref,          # out (2, TILE_K, D, W) VMEM
+    bufr, bufi,              # scratch (2 slots, 2, NS, W) VMEM (per pol)
+    sems,                    # DMA semaphores (2 slots, 2, 2)
     *,
     block: int, step: int, phases: int,
-    tile_k: int, sup_l: int, sup_a: int, nrows: int,
+    tile_k: int, sup_l: int, sup_a: int, ns: int,
 ):
     t = pl.program_id(1)
     pg = pl.program_id(0)
     n_t = pl.num_programs(1)
     slot = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
+    w, d, h = _geom(block, step, phases * block)
+    ksup = tile_k // sup_a
 
-    # one DMA per span row into 4D scratch — rows overlap by one block so
-    # no fold term ever crosses a row (see _plan). The fold below reads
-    # each term as a *ref slice* of a row, never materializing the whole
-    # span as a value (a single (2, NROWS*SUP_L) read blows Mosaic's
-    # scoped-vmem stack at mid geometry: 52 MB measured vs the 16 MB limit)
-    def dma(step_idx, slot_idx, c, r):
+    # one rect DMA per (component, pol): rows r0..r0+ns of the W-wide view
+    def dma(step_idx, slot_idx, c, p):
         hbm, buf = ((x_r, bufr), (x_i, bufi))[c]
-        base = step_idx * tile_k * step  # multiple of sup_l (tile_k % sup_a == 0)
-        # row index leads the (pol, lane) tile dims: slicing one row must
-        # not cut the sublane tiling
+        r0 = step_idx * (tile_k * step // w)   # multiple of 8
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(2 * pg, 2), pl.ds(base + r * sup_l, sup_l + block)],
-            buf.at[slot_idx, r],
-            sems.at[slot_idx, c, r],
+            hbm.at[2 * pg + p, pl.ds(r0, ns), :],
+            buf.at[slot_idx, p],
+            sems.at[slot_idx, c, p],
         )
 
     def start(step_idx, slot_idx):
         for c in range(2):
-            for r in range(nrows):
-                dma(step_idx, slot_idx, c, r).start()
+            for p in range(2):
+                dma(step_idx, slot_idx, c, p).start()
 
     @pl.when(t == 0)
     def _():
@@ -115,24 +130,39 @@ def _kernel(
         start(t + 1, nxt)
 
     for c in range(2):
-        for r in range(nrows):
-            dma(t, slot, c, r).wait()
+        for p in range(2):
+            dma(t, slot, c, p).wait()
 
-    ksup = tile_k // sup_a
+    f2d = f2d_ref[:]
 
     def fold(buf, out):
+        # per spectrum k = K*sup_a + a: `phases` full-sublane (2, D, W)
+        # madds, each sliced at this shift's fixed row phase from an
+        # 8-aligned (2, H, W) window. Windows land on an 8-row grid
+        # shared across shifts and taps (b(a, m, K) differences are all
+        # multiples of 8), so the cache cuts the load traffic ~3-4x.
+        # The (D, W) row split of the block IS the row-major lane layout,
+        # so the output tile (2, TILE_K, D, W) reshapes to the
+        # (NB, block) stream for free.
+        wins = {}
+
+        def win(b):
+            if b not in wins:
+                wins[b] = jnp.stack(
+                    [buf[slot, 0, b: b + h, :], buf[slot, 1, b: b + h, :]]
+                )
+            return wins[b]
+
         for a in range(sup_a):
-            acc = jnp.zeros((ksup, 2, block), jnp.float32)
-            for m in range(phases):
-                off = a * step + m * block
-                r, l = divmod(off, sup_l)  # l is a multiple of 128
-                # rows overlap by one block: l + block <= sup_l + block
-                acc = acc + f2d_ref[m] * buf[
-                    slot, r: r + ksup, :, l: l + block
-                ]
-            # out rows for this a are k = K*sup_a + a — unrolled row writes
+            ph = (a * step // w) % 8
             for K in range(ksup):
-                out[:, K * sup_a + a] = acc[K]
+                base = (a * step + K * sup_l) // w - ph
+                acc = jnp.zeros((2, d, w), jnp.float32)
+                for m in range(phases):
+                    v = win(base + (m * block // w))
+                    term = v[:, ph: ph + d, :] if ph or h > d else v
+                    acc = acc + f2d[m] * term
+                out[:, K * sup_a + a] = acc
 
     fold(bufr, or_ref)
     fold(bufi, oi_ref)
@@ -144,53 +174,53 @@ def _kernel(
 def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
     n_pol, n_pad = xr.shape
     phases = fl // block
-    tile_k, sup_l, sup_a, nrows = _plan(block, step, fl)
-    # every fold row slice [r, r + ksup) must stay inside the span: the
-    # largest row index touched is max_off // sup_l + ksup - 1 < nrows
-    # (provably true for nrows() as defined in _plan — defensive only)
-    max_off = (sup_a - 1) * step + (phases - 1) * block
-    if max_off // sup_l >= nrows - tile_k // sup_a + 1:
-        raise ValueError(
-            f"padded-fold span too short: max fold offset {max_off} needs "
-            f"row {max_off // sup_l} + {tile_k // sup_a} rows but the span "
-            f"has {nrows}"
-        )
-    nblocks_pad = (
-        n_pad - (nrows * sup_l + block - tile_k * step)
-    ) // (tile_k * step)
+    tile_k, sup_l, sup_a, ns = _plan(block, step, fl)
+    w, d, h = _geom(block, step, fl)
+    n_rows = n_pad // w
+    rows_per_t = tile_k * step // w
+    nblocks_pad = (n_rows - ns) // rows_per_t + 1
+    x3r = xr[:, : n_rows * w].reshape(n_pol, n_rows, w)
+    x3i = xi[:, : n_rows * w].reshape(n_pol, n_rows, w)
 
     kern = functools.partial(
         _kernel, block=block, step=step, phases=phases,
-        tile_k=tile_k, sup_l=sup_l, sup_a=sup_a, nrows=nrows,
+        tile_k=tile_k, sup_l=sup_l, sup_a=sup_a, ns=ns,
     )
     grid = (n_pol // 2, nblocks_pad)
     out_shape = [
-        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, block), jnp.float32),
-        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, block), jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, d, w),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_pol, nblocks_pad * tile_k, d, w),
+                             jnp.float32),
     ]
-    return pl.pallas_call(
+    outr, outi = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((phases, block), lambda p, t: (0, 0),
+            pl.BlockSpec((phases, d, w), lambda p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2, tile_k, block), lambda p, t: (p, t, 0),
+            pl.BlockSpec((2, tile_k, d, w), lambda p, t: (p, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile_k, block), lambda p, t: (p, t, 0),
+            pl.BlockSpec((2, tile_k, d, w), lambda p, t: (p, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, nrows, 2, sup_l + block), jnp.float32),
-            pltpu.VMEM((2, nrows, 2, sup_l + block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, nrows)),
+            pltpu.VMEM((2, 2, ns, w), jnp.float32),
+            pltpu.VMEM((2, 2, ns, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
         interpret=interpret,
-    )(xr, xi, f2d)
+    )(x3r, x3i, f2d.reshape(phases, d, w))
+    nb = nblocks_pad * tile_k
+    return (
+        outr.reshape(n_pol, nb, block),
+        outi.reshape(n_pol, nb, block),
+    )
 
 
 @functools.partial(
@@ -263,10 +293,10 @@ def polyphase_analysis_padded_fused(
     step = geometry.analysis_step(block, os_factor)
     if block % 128:
         raise ValueError("fused padded kernel requires block % 128 == 0")
-    if step % 128:
+    if math.gcd(step, block) % 128:
         raise ValueError(
-            f"fused padded kernel requires step % 128 == 0, got {step} "
-            "(use the composed path)"
+            f"fused padded kernel requires gcd(step, block) % 128 == 0, "
+            f"got step={step} (use the composed path)"
         )
     pair_in = isinstance(x, tuple)
     if pair_in:
@@ -289,11 +319,11 @@ def polyphase_analysis_padded_fused(
 
     n_pol, n_dat = xr.shape
     nblocks = n_dat // step
-    tile_k, sup_l, sup_a, nrows = _plan(block, step, fl)
+    tile_k, sup_l, sup_a, ns = _plan(block, step, fl)
+    w, _, _ = _geom(block, step, fl)
     nblocks_pad = max(1, -(-nblocks // tile_k))
-    n_pad = nblocks_pad * tile_k * step + (
-        nrows * sup_l + block - tile_k * step
-    )
+    # the kernel reads W-wide rows [t*rows_per_t, + ns) of the view
+    n_pad = ((nblocks_pad - 1) * (tile_k * step // w) + ns) * w
     pol_pad = n_pol % 2
     # front-pad fl zeros (the "padded" in padded analysis: block k reads
     # x[k*step - fl : k*step]) and tail-pad to the kernel's span geometry

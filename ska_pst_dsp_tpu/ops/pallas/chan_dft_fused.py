@@ -15,10 +15,10 @@ runs the whole stage as ONE pallas_call over (pol, KB-spectra tiles):
   * the N-level twiddle rides an (8, b1) constant;
   * the outer b1-point DFT is one fat Karatsuba split-bf16x3 GEMM per k2
     digit (M = KB spectra, K = N = b1 — full MXU tiles);
-  * stacking the 8 per-k2 results on a new minor lane axis lands the
-    lanes at position 8*k1 + k2 — which IS channel k2 + 8*k1: the
-    channel-order interleave that costs the composed path two full-stream
-    transposes is one in-register lane stack here;
+  * the 8 per-k2 result planes write k2-major (Mosaic cannot lower the
+    in-register lane interleave as a shape cast); ONE XLA transpose
+    outside restores channel order k2 + 8*k1 — the composed four-step
+    needed two such passes plus its K=8 inner GEMM;
   * the derotation ramp (and the padded analysis' reverse-then-IFFT
     equivalence phase, see analysis_padded_fused) multiplies as a
     (KB, block) constant — KB % nu == 0 makes it the same for every tile.
@@ -147,9 +147,10 @@ def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
         bs = _dft8(xs)                       # 8 x (KB, b1) split pairs
         twr = twr_ref[:]
         twi = twi_ref[:]
+        rr = cr_ref[:]                       # ramp, k2-major (8*KB, b1)
+        ri = ci_ref[:]
         outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
         dn = (((1,), (0,)), ((), ()))
-        outs_r, outs_i = [], []
         for k2 in range(8):
             br, bi = bs[k2]
             tr = twr[k2]                     # (b1,) row of the value
@@ -157,23 +158,28 @@ def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
             ar = br * tr - bi * ti
             ai = br * ti + bi * tr
             yr, yi = cfft.kar_dot(ar, ai, outer_c, dn)   # (KB, b1)
-            outs_r.append(yr)
-            outs_i.append(yi)
-        # lane-stack the k2 digit minor: position 8*k1 + k2 == channel
-        xr_all = jnp.stack(outs_r, axis=-1).reshape(KB, block)
-        xi_all = jnp.stack(outs_i, axis=-1).reshape(KB, block)
-        rr = cr_ref[:]
-        ri = ci_ref[:]
-        outr_ref[0] = xr_all * rr - xi_all * ri
-        outi_ref[0] = xr_all * ri + xi_all * rr
+            # k2-major output planes (the lane interleave to channel
+            # order 8*k1 + k2 is not a lowerable shape cast in-kernel —
+            # one XLA transpose outside restores channel order); the
+            # derotation ramp rides here, pre-permuted to match
+            cr2 = rr[k2 * KB:(k2 + 1) * KB]
+            ci2 = ri[k2 * KB:(k2 + 1) * KB]
+            outr_ref[0, k2] = yr * cr2 - yi * ci2
+            outi_ref[0, k2] = yr * ci2 + yi * cr2
 
     spec_x = pl.BlockSpec((1, KB, block), lambda p, b: (p, b, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, 8, KB, b1), lambda p, b: (p, 0, b, 0),
                           memory_space=pltpu.VMEM)
 
     def cspec(shape):
         return pl.BlockSpec(shape, lambda p, b: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    # the ramp constant arrives in TRUE channel order (KB, block); the
+    # kernel consumes it per k2 plane — permute the tiny constant once
+    cr_p = jnp.concatenate([cr[:, k2::8] for k2 in range(8)], axis=0)
+    ci_p = jnp.concatenate([ci[:, k2::8] for k2 in range(8)], axis=0)
     consts = [tw_r, tw_i,
               outer[0][0], outer[0][1], outer[1][0], outer[1][1],
               outer[2][0], outer[2][1]]
@@ -182,12 +188,19 @@ def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
         kern,
         grid=(n_pol, nb_pad // KB),
         in_specs=[spec_x, spec_x] + [cspec(m.shape) for m in consts]
-        + [cspec(cr.shape), cspec(ci.shape)],
-        out_specs=[spec_x, spec_x],
+        + [cspec(cr_p.shape), cspec(ci_p.shape)],
+        out_specs=[spec_o, spec_o],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, nb_pad, block), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, nb_pad, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, 8, nb_pad, b1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, 8, nb_pad, b1), jnp.float32),
         ],
         interpret=interpret,
-    )(gr, gi, *consts, jnp.asarray(cr), jnp.asarray(ci))
-    return outr[:, :nb], outi[:, :nb]
+    )(gr, gi, *consts, jnp.asarray(cr_p), jnp.asarray(ci_p))
+
+    # restore channel order chan = k2 + 8*k1: one XLA transpose over the
+    # kept stream (the composed four-step needed TWO of these plus a K=8
+    # inner GEMM)
+    def order(y):
+        return jnp.transpose(y, (0, 2, 3, 1)).reshape(n_pol, nb_pad, block)
+
+    return order(outr)[:, :nb], order(outi)[:, :nb]

@@ -90,6 +90,40 @@ def make_kernel(mode):
 
         f2d = f2d_ref[:]
 
+        if mode == "merged64":
+            # ONE span serves all SUP_A shifts with 64-lane columns (the
+            # offset granularity gcd(step, 128) = 64); no staged copies
+            def mfold64(c, dst):
+                for K8 in range(0, KSUP, 8):
+                    accs = []
+                    v = xb[slot, c, :, K8: K8 + H, :]
+                    wins = {}
+
+                    def win(p):
+                        if p not in wins:
+                            wins[p] = v[:, p: p + 8, :]
+                        return wins[p]
+
+                    for a in range(SUP_A):
+                        cols = [jnp.zeros((2, 8, 64), jnp.float32)
+                                for _ in range(BLOCK // 64)]
+                        for m in range(PHASES):
+                            for j in range(BLOCK // 64):
+                                p, lc = divmod(
+                                    a * STEP + m * BLOCK + j * 64, SUP_L)
+                                cols[j] = cols[j] + (
+                                    f2d[m, j * 64:(j + 1) * 64]
+                                    * win(p)[:, :, lc: lc + 64]
+                                )
+                        accs.append(jnp.concatenate(cols, axis=2))
+                    g = jnp.stack(accs, axis=2).reshape(2, 8 * SUP_A, BLOCK)
+                    dst[:, pl.ds(K8 * SUP_A, 8 * SUP_A), :] = g
+
+            mfold64(0, fs)
+            mfold64(1, fs2)
+            o_ref[...] = fs[:] + fs2[:]
+            return
+
         if mode.startswith("merged"):
             # ONE span serves all SUP_A shifts: lane offsets go to 64-
             # granularity (gcd(step,128)) — value-level lane rotations.

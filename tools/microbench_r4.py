@@ -180,6 +180,75 @@ def timing_ana_only(n_dat=2 ** 23, reps=30):
            tile_cap=os.environ.get("SKA_PST_ANALYSIS_TILE_CAP", "128"))
 
 
+def timing_mid(reps=10):
+    import jax
+
+    from ska_pst_dsp_tpu.design import fir
+    from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+        polyphase_analysis_padded_fused, _fold_call,
+    )
+    from ska_pst_dsp_tpu.ops import analysis as _ana
+    from ska_pst_dsp_tpu.ops.pallas.synthesis_fused import (
+        polyphase_synthesis_fused,
+    )
+    from ska_pst_dsp_tpu.utils import geometry
+    from ska_pst_dsp_tpu.utils.rational import Rational
+
+    os_f = Rational(8, 7)
+    n_chan, L, ov = 4096, 512, 128
+    filt = fir.design_pfb_fir_filter_two_stage(n_chan, os_f, 28)
+    geom = geometry.SynthesisGeometry(n_chan, L, ov, os_f)
+    n_dat = (2 * ov + 4 * geom.input_keep) * geometry.analysis_step(
+        n_chan, os_f)
+    rng = np.random.default_rng(0)
+    xr = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+    xi = jax.device_put(rng.standard_normal((2, n_dat)).astype(np.float32))
+
+    def ana(a, b):
+        return polyphase_analysis_padded_fused(
+            (a, b), filt, n_chan, os_f, time_major=True)
+
+    dt = bench._chain_timer(ana, (xr, xi), reps)
+    report("mid_analysis_full", ms=round(dt * 1e3, 3),
+           msps=round(2 * n_dat / dt / 1e6, 1))
+
+    # fold kernel alone
+    f2d_rev = _ana._prep_filter(filt, n_chan, reverse=True)
+    fl = f2d_rev.shape[0] * n_chan
+    import jax.numpy as jnp
+    xp = jnp.pad(xr, [(0, 0), (fl, 0)])
+    step = geometry.analysis_step(n_chan, os_f)
+    # replicate the wrapper's padding
+    from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import _plan
+    tile_k, sup_l, sup_a, nrows = _plan(n_chan, step, fl)
+    nblocks = n_dat // step
+    nbp = max(1, -(-nblocks // tile_k))
+    n_pad = nbp * tile_k * step + (nrows * sup_l + n_chan - tile_k * step)
+    xp = jnp.pad(xp, [(0, 0), (0, max(0, n_pad - xp.shape[1]))])[:, :n_pad]
+    xp = jax.device_put(np.asarray(xp))
+    f2dj = jax.device_put(np.asarray(f2d_rev))
+
+    def fold_only(a, b):
+        return _fold_call(a, b, f2dj, block=n_chan, step=step, fl=fl)
+
+    dt = bench._chain_timer(fold_only, (xp, xp), reps)
+    report("mid_fold_kernel", ms=round(dt * 1e3, 3))
+
+    # synthesis + ifft_big on precomputed channels
+    cr, ci = polyphase_analysis_padded_fused(
+        (xr, xi), filt, n_chan, os_f, time_major=True)
+    cr = jax.device_put(np.asarray(cr))
+    ci = jax.device_put(np.asarray(ci))
+
+    def syn(a, b):
+        return polyphase_synthesis_fused(
+            (a, b), L, os_f, input_overlap=ov, deripple_coeff=filt,
+            temporal_taper="tukey", time_major_in=True)
+
+    dt = bench._chain_timer(syn, (cr, ci), reps)
+    report("mid_synthesis_ifft", ms=round(dt * 1e3, 3))
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("numeric", "all"):
@@ -188,6 +257,8 @@ def main():
         timings()
     if what == "ana":
         timing_ana_only()
+    if what == "mid":
+        timing_mid()
 
 
 if __name__ == "__main__":
