@@ -201,7 +201,12 @@ class TestPureTone:
         for ipol in range(n_pol):
             if nchan_data > 1:
                 # dominant channel carries the tone
-                ichan = int((np.abs(x[ipol]) ** 2).sum(axis=-1).argmax())
+                # f64: two cascaded LowCBF gain stages put |x| ~ 1e7 and
+                # the f32 square overflows to inf, corrupting the argmax
+                ichan = int(
+                    (np.abs(x[ipol]).astype(np.float64) ** 2)
+                    .sum(axis=-1).argmax()
+                )
                 if exp_chan is not None and ichan != exp_chan:
                     state = dataclasses.replace(
                         state,

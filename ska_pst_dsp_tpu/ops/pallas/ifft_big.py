@@ -22,9 +22,10 @@ Kernel 1 (inner, grid over i1 column chunks x gamma):
   (rows=i1-chunk, lanes=delta) tile, no transposes.
 
 Kernel 2 (outer, grid over gamma x delta chunks):
-  * the N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / N} computed in-kernel
-    from exact int32 phase products (i1*k2 < 2^24, so fp32 angles are
-    exact),
+  * the N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / N} delivered as a
+    BlockSpec-tiled host constant, one (n1, CHUNK) tile per (gamma,
+    delta) step (the in-kernel transcendental version cost ~65k sin+cos
+    lanes per grid step — measured 2-3 ms per mid bench step),
   * the DC-centering roll by s (modulation theorem, as in ifft_fused):
     e^{-2pi i s k2/N} rides a host-computed (p, q) constant (s*k2 overflows
     int32 — host does the exact mod), e^{-2pi i s n2 k1/N} scales the outer
@@ -111,6 +112,21 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
     k2 = g + p * d
     rollw = (gain / n) * np.exp(-2j * np.pi * roll * k2.astype(np.float64) / n)
 
+    # N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / n} as (p, q/CHUNK, n1,
+    # CHUNK) host constants, BlockSpec-delivered per (gamma, delta) tile:
+    # computing it in-kernel cost ~65k transcendental lanes per grid step
+    # (measured 2-3 ms per mid bench step across the 560 steps)
+    nch_d = q // _CHUNK
+    i1 = np.arange(n1, dtype=np.float64)[:, None]
+    w_r = np.empty((p, nch_d, n1, _CHUNK), np.float32)
+    w_i = np.empty((p, nch_d, n1, _CHUNK), np.float32)
+    for gg in range(p):
+        for dd in range(nch_d):
+            kk2 = gg + p * (dd * _CHUNK + np.arange(_CHUNK, dtype=np.float64))
+            ang = 2.0 * np.pi * (i1 * kk2[None, :] % n) / n
+            w_r[gg, dd] = np.cos(ang)
+            w_i[gg, dd] = np.sin(ang)
+
     i1, j = np.meshgrid(np.arange(n1), np.arange(n1_keep), indexing="ij")
     k1 = k1_lo + j
     ang = 2.0 * np.pi * ((i1 * k1) % n1) / n1
@@ -125,6 +141,7 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
         dq,
         f32(rollw.real), f32(rollw.imag),
         outer,
+        (w_r, w_i),
     )
 
 
@@ -146,7 +163,7 @@ def fused_big_ifft_oc(
     n_pol, n_blocks, n_flat = flatr.shape
     assert n_flat == n
     n1_keep = (n - 2 * lo) // n2
-    (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer) = _constants(
+    (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer, (w_r, w_i)) = _constants(
         n, p, q, n1, lo, roll, gain
     )
     nchunk = n1 // _CHUNK
@@ -234,18 +251,11 @@ def fused_big_ifft_oc(
     )(x3r, x3i, *consts1, e_r, e_i)
 
     # ---- kernel 2: N-twiddle + outer n1-point DFT, kept columns --------
-    def kern2(ar_ref, ai_ref, rollr_ref, rolli_ref,
+    def kern2(ar_ref, ai_ref, wr_ref, wi_ref, rollr_ref, rolli_ref,
               o1h, o1l, o2h, o2l, o3h, o3l, outr_ref, outi_ref):
-        g = pl.program_id(2)
-        d = pl.program_id(3)
-        # W[k2, i1] = e^{2pi i i1 k2 / N}, k2 = gamma + p*(d*CHUNK + lane);
-        # i1*k2 < 2^24 so the f32 angle is exact
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (n1, _CHUNK), 0)
-        dl = jax.lax.broadcasted_iota(jnp.int32, (n1, _CHUNK), 1)
-        k2 = g + p * (d * _CHUNK + dl)
-        ang = (2.0 * np.pi / n) * (i1 * k2).astype(jnp.float32)
-        wr = jnp.cos(ang)
-        wi = jnp.sin(ang)
+        # W[k2, i1] tile delivered per (gamma, delta-chunk) by BlockSpec
+        wr = wr_ref[0, 0]
+        wi = wi_ref[0, 0]
         ar = ar_ref[0, 0, 0]
         ai = ai_ref[0, 0, 0]
         br = ar * wr - ai * wi
@@ -266,6 +276,10 @@ def fused_big_ifft_oc(
     grid2 = (n_pol, n_blocks, p, q // _CHUNK)
     in_a = pl.BlockSpec(
         (1, 1, 1, n1, _CHUNK), lambda pi, b, g, d: (pi, b, g, 0, d),
+        memory_space=pltpu.VMEM,
+    )
+    in_w = pl.BlockSpec(
+        (1, 1, n1, _CHUNK), lambda pi, b, g, d: (g, d, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -299,7 +313,7 @@ def fused_big_ifft_oc(
     y2r, y2i = pl.pallas_call(
         kern2,
         grid=grid2,
-        in_specs=[in_a, in_a, roll_spec, roll_spec]
+        in_specs=[in_a, in_a, in_w, in_w, roll_spec, roll_spec]
         + [cspec2(m.shape) for m in consts2],
         out_specs=[out2_spec, out2_spec],
         out_shape=[
@@ -307,7 +321,8 @@ def fused_big_ifft_oc(
             jax.ShapeDtypeStruct((n_pol, n_blocks, p, q, n1_keep), jnp.float32),
         ],
         interpret=interpret,
-    )(a1r, a1i, jnp.asarray(_roll8(rollr)), jnp.asarray(_roll8(rolli)),
+    )(a1r, a1i, jnp.asarray(w_r), jnp.asarray(w_i),
+      jnp.asarray(_roll8(rollr)), jnp.asarray(_roll8(rolli)),
       *consts2)
 
     # t - lo = n2*j + p*delta + gamma: reorder (gamma, delta, j) -> t with

@@ -161,3 +161,43 @@ class TestCurrentPerformancePadded:
         ichop, vchop = cp.chop(cfg, inp, inv, meta)
         r = perf.temporal_difference(ichop, vchop)
         assert r["mean"] < 5e-3, r
+
+
+def test_published_tpu_purity_products():
+    """The ON-CHIP purity products (tools/purity_tpu.py: the compiled
+    Mosaic kernel chain on real hardware) must exist and meet the -60 dB
+    requirement with a purity-safe FFT GEMM precision mode recorded."""
+    import os
+
+    from ska_pst_dsp_tpu.data_gen.config import products_dir
+
+    for cfg in ("low", "mid"):
+        path = os.path.join(products_dir, f"report.purity.tpu.{cfg}.json")
+        assert os.path.exists(path), (
+            f"on-chip purity product missing for {cfg} — run "
+            f"tools/purity_tpu.py -c {cfg} on the TPU"
+        )
+        rep = json.load(open(path))
+        assert rep["pass"] is True, rep
+        assert rep["worst_in_window_max_spurious_dB"] <= -60.0
+        assert rep["fft_precision"] in ("high", "highest"), rep
+        assert rep["backend"] != "cpu"
+        assert rep["temporal"] and rep["spectral"]
+
+
+def test_published_tpu_dedispersion_product():
+    """The on-chip dedispersion product (tools/dedispersion_tpu.py) must
+    show the fused elem hook matching the composed spectral_filter slot on
+    hardware to fp32 class."""
+    import os
+
+    from ska_pst_dsp_tpu.data_gen.config import products_dir
+
+    path = os.path.join(products_dir, "report.dedispersion.tpu.json")
+    assert os.path.exists(path), (
+        "on-chip dedispersion product missing — run tools/dedispersion_tpu.py"
+    )
+    rep = json.load(open(path))
+    assert rep["pass"] is True, rep
+    assert rep["fused_vs_composed_max_rel"] < 1e-4
+    assert rep["backend"] != "cpu"
