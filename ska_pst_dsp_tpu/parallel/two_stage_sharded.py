@@ -21,7 +21,7 @@ the resharding collective itself.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
