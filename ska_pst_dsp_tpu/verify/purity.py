@@ -6,6 +6,11 @@ vector through generate → channelize → invert, align (``chop``) against the
 input, and report reconstruction differences plus spurious-power metrics
 against the SKAO −60 dB requirements. JSON reports land in ``products/``.
 
+The constructor signature, method names and report schema deliberately
+match the reference harness (they are the compatibility surface a
+reference user scripts against); the sweep/metric internals are this
+framework's own.
+
 Run:  python -m ska_pst_dsp_tpu.verify.purity -t -f -n 10 -c low
 """
 
@@ -16,7 +21,7 @@ import glob
 import json
 import logging
 import os
-import typing
+from typing import Optional, Union
 
 import numpy as np
 
@@ -47,7 +52,7 @@ class TestPurity:
     def __init__(
         self,
         n_test: int,
-        os_factor: typing.Union[Rational, str],
+        os_factor: Union[Rational, str],
         input_fft_length: int,
         input_overlap: int,
         fft_window: str,
@@ -55,12 +60,12 @@ class TestPurity:
         channels: int,
         fir_filter_taps: int,
         blocks: int,
-        backend: typing.Optional[dict] = None,
-        output_dir: typing.Optional[str] = None,
+        backend: Optional[dict] = None,
+        output_dir: Optional[str] = None,
         save_output: bool = False,
-        make_plots: typing.Optional[bool] = None,
+        make_plots: Optional[bool] = None,
         analysis_function: str = "polyphase_analysis",
-        fir_filter_path: typing.Optional[str] = None,
+        fir_filter_path: Optional[str] = None,
     ):
         backend = backend or {}
         backend = {
@@ -69,24 +74,25 @@ class TestPurity:
             "synthesize": backend.get("synthesize", "jax"),
         }
         self.make_plots = (n_test == 1) if make_plots is None else make_plots
-        self.input_fft_length = input_fft_length
-        self.input_overlap = input_overlap
-        self.deripple = deripple
-        self.fft_window = fft_window
-        self.save_output = save_output
-        self.channels = channels
+        self.input_fft_length, self.input_overlap = (
+            input_fft_length, input_overlap
+        )
+        self.deripple, self.fft_window = deripple, fft_window
+        self.save_output, self.channels = save_output, channels
         self.output_dir = output_dir or data_gen.config.config.data_dir
-        os.makedirs(self.output_dir, exist_ok=True)
-        os.makedirs(products_dir, exist_ok=True)
+        for d in (self.output_dir, products_dir):
+            os.makedirs(d, exist_ok=True)
 
         os_factor = Rational.coerce(os_factor)
-        # derived block geometry (purity.py:79-99)
+        # derived block geometry (the reference harness's sizing rules)
         self.normalize = input_fft_length * channels
-        block_size = os_factor.normalize(input_fft_length) * channels
-        self.block_size = block_size
+        self.block_size = os_factor.normalize(input_fft_length) * channels
+        block_size = self.block_size
         self.fft_size = 2 * block_size
         self.n_samples = block_size * blocks
-        self.output_sample_shift = os_factor.normalize(input_overlap) * channels
+        self.output_sample_shift = (
+            os_factor.normalize(input_overlap) * channels
+        )
         self.use_padded = analysis_function == "polyphase_analysis_padded"
         from ..utils import geometry
 
@@ -124,10 +130,9 @@ class TestPurity:
                 else {}
             ),
         )
+        identity = lambda a, **kwargs: a  # noqa: E731 — no synthesize stage
         self.pipeline = data_gen.pipeline(
-            self.generator,
-            self.channelizer,
-            lambda a, **kwargs: a,
+            self.generator, self.channelizer, identity,
             output_dir=self.output_dir,
         )
         self.synthesizer = functools.partial(
@@ -219,9 +224,8 @@ class TestPurity:
     def chop(self, input_dump_file, inverted_dump_file):
         """Align the inverted stream against the input by dropping
         total_sample_shift input samples (purity.py:276-283)."""
-        input_dat = input_dump_file.data[self.total_sample_shift:, 0, :].flatten()
-        inverted_dat = inverted_dump_file.data.flatten()
-        return input_dat, inverted_dat
+        shifted = input_dump_file.data[self.total_sample_shift:, 0, :]
+        return shifted.ravel(), inverted_dump_file.data.ravel()
 
     def dispose(self):
         for f in self.files:
@@ -233,14 +237,13 @@ class TestPurity:
             os.remove(path)
 
     def finish(self) -> str:
-        param_str = ".".join(
-            [
-                f"fft_length-{self.input_fft_length}",
-                f"deripple-{1 if self.deripple else 0}",
-                f"fft_window-{self.fft_window}",
-                f"input_overlap-{self.input_overlap}",
-            ]
-        )
+        params = {
+            "fft_length": self.input_fft_length,
+            "deripple": int(self.deripple),
+            "fft_window": self.fft_window,
+            "input_overlap": self.input_overlap,
+        }
+        param_str = ".".join(f"{k}-{v}" for k, v in params.items())
         path = os.path.join(products_dir, f"report.purity.{param_str}.json")
         with open(path, "w") as f:
             json.dump(self.report, f, cls=data_gen.util.NumpyEncoder, indent=2)
@@ -277,10 +280,10 @@ def main(argv=None):
         analysis_function=config.analysis_function,
         fir_filter_path=getattr(config, "fir_filter_path", None),
     )
-    if parsed.do_time:
-        purity_test.temporal_purity()
-    if parsed.do_freq:
-        purity_test.spectral_purity()
+    for flag, method in (("do_time", purity_test.temporal_purity),
+                         ("do_freq", purity_test.spectral_purity)):
+        if getattr(parsed, flag):
+            method()
     purity_test.finish()
 
 
