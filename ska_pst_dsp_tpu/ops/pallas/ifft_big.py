@@ -62,6 +62,11 @@ from .. import cfft
 _CHUNK = 128  # i1 / delta chunk width (lanes)
 
 
+def _chunk2(q: int) -> int:
+    """Kernel 2's delta-axis chunk: as wide as q allows up to 256."""
+    return 256 if q % 256 == 0 else _CHUNK
+
+
 def plan_big_ifft(n: int, lo: int) -> Optional[Tuple[int, int, int]]:
     """(p, q, n1) three-factor split usable by the out-of-core epilogue,
     or None. Wants n1 <= 512 (n1 % 128 == 0), q <= 512 (q % 128 == 0:
@@ -112,17 +117,19 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
     k2 = g + p * d
     rollw = (gain / n) * np.exp(-2j * np.pi * roll * k2.astype(np.float64) / n)
 
-    # N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / n} as (p, q/CHUNK, n1,
-    # CHUNK) host constants, BlockSpec-delivered per (gamma, delta) tile:
-    # computing it in-kernel cost ~65k transcendental lanes per grid step
-    # (measured 2-3 ms per mid bench step across the 560 steps)
-    nch_d = q // _CHUNK
+    # N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / n} as (p, q/CHUNK2, n1,
+    # CHUNK2) host constants, BlockSpec-delivered per (gamma, delta) tile:
+    # computing it in-kernel cost ~65k transcendental lanes per grid step.
+    # Kernel 2's delta chunk is wider than kernel 1's i1 chunk (whose
+    # (n2, CHUNK) input slab is the VMEM bound): fewer, fatter outer GEMMs.
+    chunk2 = _chunk2(q)
+    nch_d = q // chunk2
     i1 = np.arange(n1, dtype=np.float64)[:, None]
-    w_r = np.empty((p, nch_d, n1, _CHUNK), np.float32)
-    w_i = np.empty((p, nch_d, n1, _CHUNK), np.float32)
+    w_r = np.empty((p, nch_d, n1, chunk2), np.float32)
+    w_i = np.empty((p, nch_d, n1, chunk2), np.float32)
     for gg in range(p):
         for dd in range(nch_d):
-            kk2 = gg + p * (dd * _CHUNK + np.arange(_CHUNK, dtype=np.float64))
+            kk2 = gg + p * (dd * chunk2 + np.arange(chunk2, dtype=np.float64))
             ang = 2.0 * np.pi * (i1 * kk2[None, :] % n) / n
             w_r[gg, dd] = np.cos(ang)
             w_i[gg, dd] = np.sin(ang)
@@ -273,13 +280,14 @@ def fused_big_ifft_oc(
         outr_ref[0, 0, 0] = yr
         outi_ref[0, 0, 0] = yi
 
-    grid2 = (n_pol, n_blocks, p, q // _CHUNK)
+    chunk2 = _chunk2(q)
+    grid2 = (n_pol, n_blocks, p, q // chunk2)
     in_a = pl.BlockSpec(
-        (1, 1, 1, n1, _CHUNK), lambda pi, b, g, d: (pi, b, g, 0, d),
+        (1, 1, 1, n1, chunk2), lambda pi, b, g, d: (pi, b, g, 0, d),
         memory_space=pltpu.VMEM,
     )
     in_w = pl.BlockSpec(
-        (1, 1, n1, _CHUNK), lambda pi, b, g, d: (g, d, 0, 0),
+        (1, 1, n1, chunk2), lambda pi, b, g, d: (g, d, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -288,26 +296,26 @@ def fused_big_ifft_oc(
         return pl.BlockSpec(shape, lambda pi, b, g, d: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    # (gamma*nchunk + d) rows of 8 replicated sublanes x CHUNK lanes: a
-    # (1, 8, CHUNK) block satisfies Mosaic's (8, 128)-divisible block rule
-    nch_d = q // _CHUNK
+    # (gamma*nchunk + d) rows of 8 replicated sublanes x CHUNK2 lanes: a
+    # (1, 8, CHUNK2) block satisfies Mosaic's (8, 128)-divisible block rule
+    nch_d = q // chunk2
     roll_spec = pl.BlockSpec(
-        (1, 8, _CHUNK), lambda pi, b, g, d: (g * nch_d + d, 0, 0),
+        (1, 8, chunk2), lambda pi, b, g, d: (g * nch_d + d, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     def _roll8(v):
-        v = v.reshape(p, nch_d, 1, _CHUNK)
+        v = v.reshape(p, nch_d, 1, chunk2)
         return np.broadcast_to(
-            v, (p, nch_d, 8, _CHUNK)
-        ).reshape(p * nch_d, 8, _CHUNK).copy()
+            v, (p, nch_d, 8, chunk2)
+        ).reshape(p * nch_d, 8, chunk2).copy()
     consts2 = [
         outer[0][0], outer[0][1], outer[1][0], outer[1][1],
         outer[2][0], outer[2][1],
     ]
     consts2 = [jnp.asarray(m) for m in consts2]
     out2_spec = pl.BlockSpec(
-        (1, 1, 1, _CHUNK, n1_keep), lambda pi, b, g, d: (pi, b, g, d, 0),
+        (1, 1, 1, chunk2, n1_keep), lambda pi, b, g, d: (pi, b, g, d, 0),
         memory_space=pltpu.VMEM,
     )
     y2r, y2i = pl.pallas_call(
