@@ -55,7 +55,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from .. import cfft
+
+#: experiment knob (A/B only): 1 = wide-inner orientation — const-first
+#: inner GEMM with N = kb*n1 lanes and an XLA output transpose, vs the
+#: default transpose-free sublane-contraction inner (N = n2).
+_WIDE = _os.environ.get("SKA_PST_IFFT_WIDE", "0") == "1"
 
 
 def plan_ifft(n: int, lo: int) -> Optional[Tuple[int, int]]:
@@ -144,7 +151,8 @@ def fused_big_ifft(
     per_kb = (2 * 2 * n2 * n1 + 2 * 2 * n1_keep * n2 + 2 * n1 * n2) * 4
     fixed = (3 * 2 * n2 * n2 + 3 * 2 * n1 * n1_keep) * 2
     kb = 1
-    while kb < 8 and 2 * kb * per_kb + fixed <= 14 * 1024 * 1024:
+    limit = (12 if _WIDE else 14) * 1024 * 1024
+    while kb < 8 and 2 * kb * per_kb + fixed <= limit:
         kb *= 2
     b_pad = -(-n_blocks // kb) * kb
 
@@ -176,6 +184,26 @@ def fused_big_ifft(
             )
         inner_c = ((i1h[:], i1l[:]), (i2h[:], i2l[:]), (i3h[:], i3l[:]))
         dn00 = (((0,), (0,)), ((), ()))
+        dn_std = (((1,), (0,)), ((), ()))
+        outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
+        if _WIDE:
+            # wide-inner orientation: const-first inner with N = kb*n1
+            # lanes; outer standard-dn; output (k2, k1)-ordered — the
+            # caller transposes in XLA
+            br, bi = cfft.kar_dot(
+                re_all, im_all, inner_c, dn_std, const_first=True
+            )                                            # (n2, kb*n1)
+            tr, ti = twr_ref[:], twi_ref[:]              # (n2, kb*n1)
+            cr = br * tr - bi * ti
+            ci = br * ti + bi * tr
+            cr2 = jnp.concatenate(
+                [cr[:, b * n1:(b + 1) * n1] for b in range(kb)], axis=0)
+            ci2 = jnp.concatenate(
+                [ci[:, b * n1:(b + 1) * n1] for b in range(kb)], axis=0)
+            kr, ki = cfft.kar_dot(cr2, ci2, outer_c, dn_std)
+            outr_ref[0] = kr.reshape(kb, n2, n1_keep)
+            outi_ref[0] = ki.reshape(kb, n2, n1_keep)
+            return
         br, bi = cfft.kar_dot(re_all, im_all, inner_c, dn00)  # (kb*n1, n2)
         tr, ti = twr_ref[:], twi_ref[:]                  # (kb*n1, n2) tiled
         cr = br * tr - bi * ti
@@ -189,7 +217,6 @@ def fused_big_ifft(
             [cr[b * n1:(b + 1) * n1] for b in range(kb)], axis=1)
         ci2 = jnp.concatenate(
             [ci[b * n1:(b + 1) * n1] for b in range(kb)], axis=1)
-        outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
         # outer: const-first sublane contraction → (n1_keep, kb*n2); per
         # block the (n1_keep, n2) tile IS the kept samples t = k2 + n2*k1
         # in row-major order
@@ -213,15 +240,21 @@ def fused_big_ifft(
         e_r = jnp.ones((8, 128), jnp.float32)
         e_i = jnp.zeros((8, 128), jnp.float32)
 
+    if _WIDE:
+        tw_pair = [np.tile(tw_r.T, (1, kb)), np.tile(tw_i.T, (1, kb))]
+        out_dims = (n2, n1_keep)
+    else:
+        tw_pair = [np.tile(tw_r, (kb, 1)), np.tile(tw_i, (kb, 1))]
+        out_dims = (n1_keep, n2)
     const_args = (
         [i_b[0][0], i_b[0][1], i_b[1][0], i_b[1][1], i_b[2][0], i_b[2][1]]
-        + [np.tile(tw_r, (kb, 1)), np.tile(tw_i, (kb, 1))]
+        + tw_pair
         + [o_b[0][0], o_b[0][1], o_b[1][0], o_b[1][1], o_b[2][0], o_b[2][1]]
     )
     const_args = [jnp.asarray(m) for m in const_args]
     const_specs = [cspec(m.shape) for m in const_args]
 
-    out_spec = pl.BlockSpec((1, kb, n1_keep, n2), lambda p, b: (p, b, 0, 0),
+    out_spec = pl.BlockSpec((1, kb) + out_dims, lambda p, b: (p, b, 0, 0),
                             memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(
         kern,
@@ -232,15 +265,23 @@ def fused_big_ifft(
         ),
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, b_pad, n1_keep, n2), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, b_pad, n1_keep, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad) + out_dims, jnp.float32),
+            jax.ShapeDtypeStruct((n_pol, b_pad) + out_dims, jnp.float32),
         ],
         interpret=interpret,
     )(x3r, x3i, *const_args, e_r, e_i)
 
+    keep = n1_keep * n2
+    if _WIDE:
+        # (k2, k1) tiles → one XLA transpose to time order
+        return (
+            jnp.swapaxes(outr[:, :n_valid], -1, -2)
+            .reshape(n_pol, n_valid, keep),
+            jnp.swapaxes(outi[:, :n_valid], -1, -2)
+            .reshape(n_pol, n_valid, keep),
+        )
     # kept samples t = k2 + n2*k1 are exactly the (k1, k2) row-major tile
     # layout — the reshape is free, no transpose
-    keep = n1_keep * n2
     return (
         outr[:, :n_valid].reshape(n_pol, n_valid, keep),
         outi[:, :n_valid].reshape(n_pol, n_valid, keep),
