@@ -29,6 +29,7 @@ from ..io import dada
 from ..models import signals, testers
 from ..models.streaming import FilterBank, InverseFilterBank
 from ..models.two_stage import TwoStageFilterBank, TwoStageInverseFilterBank
+from ..utils import geometry
 from ..utils.config import load_config, CONFIG_DIR
 from ..utils.rational import Rational
 
@@ -316,15 +317,35 @@ def run(argv=None) -> int:
                         "inverted cascaded-LowCBF chains are not modeled "
                         "(chomp-seam/half-channel-boundary tones)"
                     )
-            if (not a.invert and not two_stage
-                    and config.analysis_function
-                    == "polyphase_analysis_padded"):
-                # channelize-only padded (mid) stream: a tone near a
-                # coarse-channel transition edge sees the two-stage
-                # prototype's transition sidelobes (~-52 dB measured); the
-                # -60 dB requirement gates the INVERSION (purity products),
-                # not the raw channelizer
-                db_max = -50.0
+            # channelized (non-inverted) streams: exclude the filter
+            # startup transient from the purity measurement — the tone's
+            # turn-on convolved with the prototype is a property of the
+            # test signal's finite support, not of the filterbank (with it
+            # excluded the mid channelized tone measures ~-150 dB; with it
+            # included, ~-50 dB of transient skirt masks everything)
+            skip = 0
+            if level >= 1:
+                def _fl(cfgo, coeff_len):
+                    if (cfgo.analysis_function
+                            == "polyphase_analysis_lowcbf"):
+                        from ..ops import lowcbf as _lc
+
+                        return _lc.NFILT + _lc.FIRST_CALL_PAD
+                    if (cfgo.analysis_function
+                            == "polyphase_analysis_padded"):
+                        return geometry.padded_filter_length(
+                            coeff_len, cfgo.channels
+                        )
+                    return coeff_len
+
+                step1 = geometry.analysis_step(n_chan, os1)
+                t = -(-_fl(config, len(filt_coeff)) // step1) + 2
+                if level >= 2:
+                    cfg2o = config2 or config
+                    filt2_len = len(cfg2o.load_fir_filter_coeff())
+                    step2 = geometry.analysis_step(cfg2o.channels, os2)
+                    t = -(-(t + _fl(cfg2o, filt2_len)) // step2) + 2
+                skip = t
             if a.invert and two_stage and lc2 and not a.critical:
                 # stage-2 LowCBF round trip: the tested stream is the
                 # stage-1 coarse channels, each carrying its band-subset
@@ -366,6 +387,7 @@ def run(argv=None) -> int:
                     if (a.invert and a.critical and two_stage) else 0
                 ),
                 lowcbf_stages=tuple(lowcbf_flags),
+                skip=skip,
             )
     elif signal == "temporal_impulse":
         gen = signals.Impulse(offset=a.offset)

@@ -62,9 +62,15 @@ class TestPureTone:
                  stages: Sequence = (), critical: bool = False,
                  resample=None, check_bin: bool = True, guard: int = 0,
                  combine: int = 1, nch2_critical: int = 0,
-                 lowcbf_stages: Sequence = ()):
+                 lowcbf_stages: Sequence = (), skip: int = 0):
         self.frequency = frequency
         self.db_max = db_max
+        #: initial samples of the tested stream to exclude: the filter
+        #: startup transient (tone turn-on convolved with the prototype)
+        #: is a property of the test signal's finite support, not of the
+        #: filterbank — with it excluded a channelized tone measures at
+        #: machine precision (~-150 dB) where the raw window gives ~-50 dB
+        self.skip = skip
         #: per-stage flags: stage i is the LowCBF firmware-model filterbank
         #: (fftshifted channel order, KEPT_LO..KEPT_LO+KEPT kept, the
         #: quarter-turn derotation adding q/4 to each channel's baseband)
@@ -196,6 +202,13 @@ class TestPureTone:
 
     def test(self, state: TesterState, x) -> tuple:
         x = np.asarray(x)
+        seen = x.shape[-1]
+        drop = max(0, self.skip - state.current)
+        if drop >= seen:
+            # the whole block is startup transient — nothing to judge yet
+            return dataclasses.replace(state, current=state.current + seen), 0
+        if drop:
+            x = x[..., drop:]
         n_pol, nchan_data = x.shape[0], x.shape[1]
         exp_chan, fb = self._expected(nchan_data)
         for ipol in range(n_pol):
@@ -265,7 +278,7 @@ class TestPureTone:
                     detail=f"spurious {worst:.1f} dB > {self.db_max}",
                 )
                 return state, -1
-        return dataclasses.replace(state, current=state.current + x.shape[-1]), 0
+        return dataclasses.replace(state, current=state.current + seen), 0
 
 
 class TestImpulse:

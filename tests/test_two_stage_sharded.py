@@ -63,7 +63,7 @@ def test_low_low_roundtrip_matches_models(combine):
 
     fb = TwoStageFilterBank(cfg1, cfg2, critical=True)
     _, chan = fb.execute(fb.init_state(), x[:, None, :])
-    nch2 = cfg1.os_factor.normalize(cfg1.channels)          # 216
+    nch2 = cfg1.os_factor.normalize(cfg1.channels)          # 192
     inv = TwoStageInverseFilterBank(cfg1, cfg2, combine=combine, nch2=nch2)
     _, ref = inv.execute(inv.init_state(), chan)
     assert ref.shape[2] > 0, "reference produced no output — grow the stream"
