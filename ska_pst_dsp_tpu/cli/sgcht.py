@@ -188,9 +188,17 @@ def run(argv=None) -> int:
         if a.invert:
             if two_stage:
                 config2 = load_config(a.cfg2) if a.cfg2 else config
+                nch2_inv = pfb_nchan
+                if (not a.critical
+                        and config2.analysis_function
+                        == "polyphase_analysis_lowcbf"):
+                    # LowCBF stage 2 emits its KEPT (216) channels
+                    nch2_inv = config2.kept_channels or config2.channels
+                elif a.critical:
+                    nch2_inv = config2.os_factor.normalize(config2.channels)
                 inverse = TwoStageInverseFilterBank(
                     config, config2, single=a.single, combine=a.combine,
-                    nch2=pfb_nchan,
+                    nch2=nch2_inv,
                 )
             else:
                 inverse = InverseFilterBank(config)
@@ -268,7 +276,8 @@ def run(argv=None) -> int:
         if a.test:
             from fractions import Fraction
 
-            lc1 = config.analysis_function == "polyphase_analysis_lowcbf"
+            lc1 = (config is not None and config.analysis_function
+                   == "polyphase_analysis_lowcbf")
             lc2 = two_stage and (
                 (config2 or config).analysis_function
                 == "polyphase_analysis_lowcbf"
@@ -295,28 +304,13 @@ def run(argv=None) -> int:
                     Fraction(n_chan, KEPT),
                     Fraction(n_chan // 2 - KEPT_LO, KEPT),
                 )
+            monotonic_inv = False
             if two_stage and lc2:
                 # cascaded LowCBF stages: the firmware's 2^17-quantized
-                # taps and the kept-sub-band hard edges bound the
-                # within-channel spurious floor near -30 dB (the -60 dB
+                # taps bound the within-channel spurious floor (the -60 dB
                 # SKAO requirement applies to the full-band INVERSION, not
                 # the raw firmware channelizer cascade)
                 db_max = -25.0
-                if a.invert or a.critical:
-                    # cascaded-firmware critical chomp / kept-sub-band
-                    # inversion: the test tone lands at (or is split
-                    # across) the chomp seam — half the stage-1 channels
-                    # carry a half-channel rotation that puts their
-                    # content exactly on stage-2 channel boundaries, and
-                    # chomped-band tones vanish outright. No meaningful
-                    # in-stream expectation exists; the sharded/one-shot
-                    # model differentials (tests/test_two_stage_sharded)
-                    # and the inversion purity products carry this chain.
-                    raise ValueError(
-                        "in-stream tone expectations for critical/"
-                        "inverted cascaded-LowCBF chains are not modeled "
-                        "(chomp-seam/half-channel-boundary tones)"
-                    )
             # channelized (non-inverted) streams: exclude the filter
             # startup transient from the purity measurement — the tone's
             # turn-on convolved with the prototype is a property of the
@@ -345,6 +339,12 @@ def run(argv=None) -> int:
                     filt2_len = len(cfg2o.load_fir_filter_coeff())
                     step2 = geometry.analysis_step(cfg2o.channels, os2)
                     t = -(-(t + _fl(cfg2o, filt2_len)) // step2) + 2
+                elif a.invert and two_stage:
+                    # stage-2 round trip behind an inverted cascade: its
+                    # analysis + synthesis transient, in coarse samples
+                    cfg2o = config2 or config
+                    filt2_len = len(cfg2o.load_fir_filter_coeff())
+                    t += 2 * _fl(cfg2o, filt2_len)
                 skip = t
             if a.invert and two_stage and lc2 and not a.critical:
                 # stage-2 LowCBF round trip: the tested stream is the
@@ -359,7 +359,17 @@ def run(argv=None) -> int:
                     Fraction(n2c, KEPT),
                     Fraction(n2c // 2 - KEPT_LO, KEPT),
                 )
-            if a.invert and a.critical and two_stage:
+            if a.invert and a.critical and two_stage and lc2:
+                # monotonic (fftshifted, edge-chomped) LowCBF critical
+                # inversion: channels assemble in given order (perm
+                # identity), so the tester derives the output line
+                # directly from (c1, c2, phi) — see
+                # TestPureTone.monotonic_critical and divergences.rst
+                monotonic_inv = True
+                stages = [(n_chan, os1), ((config2 or config).channels, os2)]
+                lowcbf_flags = [lc1, lc2]
+                resample = None
+            elif a.invert and a.critical and two_stage:
                 # critical inversion emits at de/nu rate with the
                 # half-fine-channel modulation (polyphase_synthesis.m:253-255
                 # keeps each channel's band at its lower edge); its purity is
@@ -373,7 +383,7 @@ def run(argv=None) -> int:
                 db_max = -40.0
             tester = testers.TestPureTone(
                 frequency=gen.frequency, stages=stages,
-                critical=a.critical and level == 2,
+                critical=(a.critical and level == 2) or monotonic_inv,
                 resample=resample, db_max=db_max,
                 check_bin=check_bin, guard=guard,
                 # combine>1: the reordered slab's exact line position is
@@ -384,14 +394,20 @@ def run(argv=None) -> int:
                 else 1,
                 nch2_critical=(
                     os2.normalize((config2 or config).channels)
-                    if (a.invert and a.critical and two_stage) else 0
+                    if (a.invert and a.critical and two_stage and not lc2)
+                    else 0
                 ),
                 lowcbf_stages=tuple(lowcbf_flags),
                 skip=skip,
+                monotonic_critical=monotonic_inv,
             )
     elif signal == "temporal_impulse":
         gen = signals.Impulse(offset=a.offset)
-        if a.test:
+        if a.test and config is None:
+            # raw stream, no channeliser (test_sgcht.m:5-9): the impulse
+            # must sit exactly where it was generated
+            tester = testers.TestImpulse(offset=gen.offset)
+        elif a.test:
             output_overlap = (
                 config.os_factor.normalize(config.input_overlap) * config.channels
             )

@@ -21,13 +21,13 @@ module_logger = logging.getLogger(__name__)
 #: the reference's per-config sweep (test_sgcht.m): args appended to
 #: ``--signal S --cfg C --test``
 SWEEP = [
+    None,                                      # no channelisation (:5-9)
     [],                                        # channelize only
     ["--invert"],                              # channelize + invert
     ["--two_stage"],                           # two-stage channelize
     ["--two_stage", "--invert"],               # two-stage + invert
     ["--two_stage", "--critical"],             # critical-sampled two-stage
     ["--two_stage", "--critical", "--invert"],
-    ["--two_stage", "--invert", "--combine", "16"],
     ["--two_stage", "--critical", "--invert", "--combine", "16"],
 ]
 
@@ -56,7 +56,7 @@ def run(argv=None) -> int:
                 # blocks, sgcht.m:481-495); scale the block size so the
                 # in-stream testers actually see output, and place the
                 # impulse beyond the stage-2 filter warm-up
-                two_stage = "--two_stage" in extra
+                two_stage = extra is not None and "--two_stage" in extra
                 # the two-stage inverse consumes a full inversion block of
                 # stage-2 spectra per coarse channel before emitting anything
                 # (~n_chan^2 * fft_length raw samples)
@@ -69,10 +69,15 @@ def run(argv=None) -> int:
                     else 20000
                 )
                 args = [
-                    "--signal", signal, "--cfg", cfg, "--test",
+                    "--signal", signal, "--test",
                     "--blocks", str(a.blocks), "--blocksz", str(blocksz),
                     "--offset", str(offset),
-                ] + extra
+                ]
+                if extra is None:
+                    # test_sgcht.m:5-9 — the raw stream, no channeliser
+                    pass
+                else:
+                    args += ["--cfg", cfg] + extra
                 label = " ".join(args)
                 try:
                     rc = sgcht.run(args)

@@ -248,7 +248,9 @@ class InverseFilterBank:
 
     def __init__(self, config, *, critical: bool = False, combine: int = 1,
                  sample_offset: int = 0, spectral_taper: str = "no_window",
-                 deripple: Optional[bool] = None, chunk_blocks: Optional[int] = None):
+                 deripple: Optional[bool] = None,
+                 chunk_blocks: Optional[int] = None,
+                 monotonic: bool = False):
         self.config = config
         self.filt_coeff = config.load_fir_filter_coeff()
         self.n_fft = config.input_fft_length
@@ -260,6 +262,9 @@ class InverseFilterBank:
         self.spectral_taper = spectral_taper
         self.critical = critical
         self.combine = combine
+        #: fine channels arrive in monotonic (fftshifted) frequency order
+        #: — chomped LowCBF cascades; the DSB combine reordering is skipped
+        self.monotonic = monotonic
         self.sample_offset = sample_offset
         self._offset_pending = sample_offset
         # fixed overlap-save blocks per kernel launch (single compiled shape)
@@ -304,6 +309,7 @@ class InverseFilterBank:
                 temporal_taper=self.temporal_taper,
                 spectral_taper=self.spectral_taper,
                 combine=self.combine,
+                monotonic=self.monotonic,
             ))
             outs.append(out)
             consumed = offset + B * keep

@@ -62,7 +62,8 @@ class TestPureTone:
                  stages: Sequence = (), critical: bool = False,
                  resample=None, check_bin: bool = True, guard: int = 0,
                  combine: int = 1, nch2_critical: int = 0,
-                 lowcbf_stages: Sequence = (), skip: int = 0):
+                 lowcbf_stages: Sequence = (), skip: int = 0,
+                 monotonic_critical: bool = False):
         self.frequency = frequency
         self.db_max = db_max
         #: initial samples of the tested stream to exclude: the filter
@@ -82,6 +83,12 @@ class TestPureTone:
         #: bands (exact mapping derived in _expected)
         self.combine = combine
         self.nch2_critical = nch2_critical
+        #: inverted critical cascade whose stage-2 channels were monotonic
+        #: (fftshifted LowCBF, edge-chomped): slabs assemble in given
+        #: order (perm identity), so the output line of a tone in coarse
+        #: channel c1, critical fine channel c2, in-channel position phi
+        #: is (c1%combine * nk2 + c2 + phi) / (nk2*combine)
+        self.monotonic_critical = monotonic_critical
         #: channelization stages of the *tested* stream, outermost first:
         #: sequence of (n_chan, os_factor). Empty = raw/inverted stream.
         self.stages = [(n, Rational.coerce(os)) for n, os in stages]
@@ -136,16 +143,16 @@ class TestPureTone:
                 nk = _lowcbf.KEPT
                 if (self.critical and i == len(self.stages) - 1
                         and c is not None):
-                    # models/two_stage chomp of the KEPT channels down to
-                    # the critical count (second write wins at the seam)
+                    # models/two_stage fftshift-aware chomp of the KEPT
+                    # channels down to the critical count: the KEPT stream
+                    # is monotonic (DC at its middle), so the redundant
+                    # oversampled channels are the band EDGES, off/2 each
+                    # end (docs/src/divergences.rst)
                     target = os.normalize(n)
                     off = _lowcbf.KEPT - target
-                    half = target // 2
                     if off > 0:
-                        if c < half - 1:
-                            pass
-                        elif half - 1 + off <= c < target + off:
-                            c -= off
+                        if off // 2 <= c < off // 2 + target:
+                            c -= off // 2
                         else:
                             c = None
                     nk = target
@@ -153,9 +160,31 @@ class TestPureTone:
             else:
                 stage_nk.append(n)
             chans.append(c)
+        if self.monotonic_critical and len(self.stages) == 2:
+            # inverted monotonic (LowCBF edge-chomped) critical cascade:
+            # channels assemble in given order, each slot carrying its
+            # band monotonically (in-channel baseband -1/2..1/2 maps to
+            # slot position 0..1), so the output line of a tone in fine
+            # channel c2 at baseband phi is (w*nk2 + c2 + phi + 1/2)
+            # / (nk2*combine) — measured-verified at combine 1 and 16
+            if chans[0] is None or chans[1] is None:
+                return None, f % 1   # tone in a chomped/dropped band
+            nk2 = stage_nk[1]
+            w = chans[0] % self.combine
+            exp = chans[0] // self.combine
+            phi = (f + Fraction(1, 2)) % 1
+            f = (Fraction(w * nk2 + chans[1], nk2 * self.combine)
+                 + phi / (nk2 * self.combine))
+            return (
+                exp if nchan_data > 1 and exp < nchan_data else None,
+                f,
+            )
         if self.resample is not None:
+            # reduce to the stream's baseband first: integer parts (e.g.
+            # the LowCBF q/2 derotation alias) are invisible at this
+            # stage's rate and must not leak through the rate scaling
             ratio, off = self.resample
-            f = f * ratio + off
+            f = (f % 1) * ratio + off
         if self.combine > 1 and self.nch2_critical:
             # combine>1 critical inversion: slabs of nch2c*combine critical
             # channels, reordered by combine_channel_permutation before the

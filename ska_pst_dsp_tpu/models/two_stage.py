@@ -50,6 +50,13 @@ class TwoStageFilterBank:
         self.critical = critical
         self.single = single
 
+    @property
+    def stage2_monotonic(self) -> bool:
+        """Stage-2 channels in fftshifted (monotonic-frequency) order —
+        true for the LowCBF firmware model (ops/lowcbf.py)."""
+        return (self.config2.analysis_function
+                == "polyphase_analysis_lowcbf")
+
     def set_stage2_config(self, config2):
         self.config2 = config2
         self.stage2 = FilterBank(config2)
@@ -86,14 +93,27 @@ class TwoStageFilterBank:
         out2 = out2.reshape(n_pol, nch1, nch2_orig, t2)
 
         if self.critical and offset > 0:
-            # chomp oversampled middle channels; stage-2 channel 0 is DC and
-            # nch2/2 is Nyquist (TwoStageFilterBank.m:102-105). The matlab
-            # 1-based overlapping assignment keeps tmp[j] for j<nch2/2-1 and
-            # tmp[j+offset] for j>=nch2/2-1 (second write wins at the seam).
-            half = nch2 // 2
-            low = out2[:, :, : half - 1, :]
-            high = out2[:, :, half - 1 + offset: nch2 + offset, :]
-            out2 = np.concatenate([low, high], axis=2)
+            if self.stage2_monotonic:
+                # LowCBF stage 2 emits its KEPT channels fftshifted
+                # (monotonic frequency order, DC at the middle —
+                # ops/lowcbf.py): the oversampling-redundant channels are
+                # the BAND EDGES, offset/2 each end. The reference's
+                # generic middle-chomp (below) assumes DC-first order —
+                # applied here it would discard the DC-adjacent fine
+                # channels of every coarse channel (its own source notes
+                # the fftshifted variant, TwoStageFilterBank.m:106-107,
+                # commented out). See docs/src/divergences.rst.
+                out2 = out2[:, :, offset // 2: offset // 2 + nch2, :]
+            else:
+                # chomp oversampled middle channels; stage-2 channel 0 is
+                # DC and nch2/2 is Nyquist (TwoStageFilterBank.m:102-105).
+                # The matlab 1-based overlapping assignment keeps tmp[j]
+                # for j<nch2/2-1 and tmp[j+offset] for j>=nch2/2-1 (second
+                # write wins at the seam).
+                half = nch2 // 2
+                low = out2[:, :, : half - 1, :]
+                high = out2[:, :, half - 1 + offset: nch2 + offset, :]
+                out2 = np.concatenate([low, high], axis=2)
 
         out = out2.reshape(n_pol, nch1 * out2.shape[2], t2)
         return TwoStageFilterBankState(s1, s2), out
@@ -128,16 +148,24 @@ class TwoStageInverseFilterBank:
     def init_state(self) -> TwoStageInverseFilterBankState:
         os = Rational.coerce(self.config2.os_factor)
         critical_nchan = os.normalize(self.config2.channels)
+        monotonic = (self.config2.analysis_function
+                     == "polyphase_analysis_lowcbf")
+        # a LowCBF stage 2 emits its KEPT (216) channel subset, fftshifted
+        # (ops/lowcbf.py) — that count is its "oversampled" full set
+        full_nchan = (
+            (self.config2.kept_channels or self.config2.channels)
+            if monotonic else self.config2.channels
+        )
         if self.nch2 == critical_nchan:
             critical = True
-        elif self.nch2 == self.config2.channels:
+        elif self.nch2 == full_nchan:
             critical = False
             if self.combine > 1:
                 raise ValueError("cannot combine oversampled coarse channels")
         else:
             raise ValueError(
                 f"invalid per-coarse channel count {self.nch2}: stage2 has "
-                f"{self.config2.channels} ({critical_nchan} critical)"
+                f"{full_nchan} ({critical_nchan} critical)"
             )
         self._critical = critical
         self._inv = InverseFilterBank(
@@ -145,6 +173,7 @@ class TwoStageInverseFilterBank:
             critical=critical,
             combine=self.combine,
             spectral_taper=self.spectral_taper,
+            monotonic=monotonic,
         )
         return TwoStageInverseFilterBankState(self._inv.init_state())
 

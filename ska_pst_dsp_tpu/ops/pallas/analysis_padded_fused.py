@@ -67,11 +67,20 @@ def _plan(block: int, step: int, fl: int):
     sup_l = math.lcm(step, block)
     sup_a = sup_l // step
     w, d, h = _geom(block, step, fl)
+    phases = phases_of(fl, block)
 
     def ns(t):
-        r_max = ((sup_a - 1) * step + (phases_of(fl, block) - 1) * block
+        r_max = ((sup_a - 1) * step + (phases - 1) * block
                  + (t // sup_a - 1) * sup_l) // w
-        return -(-(r_max + h) // 8) * 8
+        n = -(-(r_max + h) // 8) * 8
+        if d == 8:
+            # aligned-accumulation fold (see _kernel): windows start at
+            # 8*floor(a*step/(8w)) + 8*m' + superblock offset, m' <= phases
+            r_al = (8 * (((sup_a - 1) * step) // (8 * w))
+                    + (t // sup_a - 1) * (sup_l // w)
+                    + 8 * (phases + 1))
+            n = max(n, r_al + 8)
+        return n
 
     tile = sup_a
     while True:
@@ -90,7 +99,8 @@ def phases_of(fl: int, block: int) -> int:
 
 def _kernel(
     x_r, x_i,                # (P, R, W) ANY/HBM row views, front fl zeros
-    f2d_ref,                 # (phases, D, W) VMEM — REVERSED filter
+    f2d_ref,                 # (phases, D, W) VMEM — REVERSED filter, or the
+                             # (SUP_A, phases+1, 8, W) aligned table (d==8)
     or_ref, oi_ref,          # out (2, TILE_K, D, W) VMEM
     bufr, bufi,              # scratch (2 slots, 2, NS, W) VMEM (per pol)
     sems,                    # DMA semaphores (2 slots, 2, 2)
@@ -135,6 +145,38 @@ def _kernel(
 
     f2d = f2d_ref[:]
 
+    def fold_aligned(buf, out):
+        # d == 8 path: SHUFFLE-FREE fold. Accumulate every spectrum in the
+        # buffer's OWN sublane space — window reads are 8-aligned (2, 8, W)
+        # slices, never [ph:ph+8] rotations — using the per-(a) filter
+        # table g[a, m', s, :] = f2d[m' - [s<ph], (s-ph) mod 8, :]
+        # (ph = (a*step/W) mod 8). The stored spectrum is then the true
+        # block cyclically ADVANCED by ph*W samples, which under the DFT
+        # is the per-bin phase e^{+2 pi i q ph/8} — merged for free into
+        # the existing per-(k mod nu, q) derotation ramp constant
+        # (_padded_fused_core; ph has period nu in k). Replaces ~phases
+        # sublane rotations per spectrum (2-3x the madd cost each,
+        # PERF_NOTES round-4) with zero.
+        wins = {}
+
+        def win8(b):
+            if b not in wins:
+                wins[b] = jnp.stack(
+                    [buf[slot, 0, b: b + 8, :], buf[slot, 1, b: b + 8, :]]
+                )
+            return wins[b]
+
+        for a in range(sup_a):
+            ph = (a * step // w) % 8
+            base_a = (a * step // w) - ph       # 8-aligned
+            n_terms = phases + (1 if ph else 0)
+            for K in range(ksup):
+                base = base_a + (K * sup_l) // w
+                acc = jnp.zeros((2, d, w), jnp.float32)
+                for mp in range(n_terms):
+                    acc = acc + f2d[a, mp] * win8(base + 8 * mp)
+                out[:, K * sup_a + a] = acc
+
     def fold(buf, out):
         # per spectrum k = K*sup_a + a: `phases` full-sublane (2, D, W)
         # madds, each sliced at this shift's fixed row phase from an
@@ -164,8 +206,12 @@ def _kernel(
                     acc = acc + f2d[m] * term
                 out[:, K * sup_a + a] = acc
 
-    fold(bufr, or_ref)
-    fold(bufi, oi_ref)
+    if d == 8:
+        fold_aligned(bufr, or_ref)
+        fold_aligned(bufi, oi_ref)
+    else:
+        fold(bufr, or_ref)
+        fold(bufi, oi_ref)
 
 
 @functools.partial(
@@ -181,6 +227,21 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
     nblocks_pad = (n_rows - ns) // rows_per_t + 1
     x3r = xr[:, : n_rows * w].reshape(n_pol, n_rows, w)
     x3i = xi[:, : n_rows * w].reshape(n_pol, n_rows, w)
+
+    f2d_in = f2d.reshape(phases, d, w)
+    if d == 8:
+        # aligned-fold filter table (see _kernel.fold_aligned):
+        # g[a, m', s, :] = f2d[m' - [s<ph(a)], (s-ph(a)) mod 8, :]
+        tabs = []
+        zero = jnp.zeros_like(f2d_in[:1])
+        for a in range(sup_a):
+            ph = (a * step // w) % 8
+            rolled = jnp.roll(f2d_in, ph, axis=1)
+            plain = jnp.concatenate([rolled, zero], axis=0)
+            shifted = jnp.concatenate([zero, rolled], axis=0)
+            mask = (jnp.arange(8) < ph)[None, :, None]
+            tabs.append(jnp.where(mask, shifted, plain))
+        f2d_in = jnp.stack(tabs)            # (sup_a, phases+1, 8, w)
 
     kern = functools.partial(
         _kernel, block=block, step=step, phases=phases,
@@ -199,8 +260,12 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((phases, d, w), lambda p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                f2d_in.shape,
+                (lambda p, t: (0, 0, 0, 0)) if d == 8
+                else (lambda p, t: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((2, tile_k, d, w), lambda p, t: (p, t, 0, 0),
@@ -215,7 +280,7 @@ def _fold_call(xr, xi, f2d, *, block, step, fl, interpret=False):
             pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
         interpret=interpret,
-    )(x3r, x3i, f2d.reshape(phases, d, w))
+    )(x3r, x3i, f2d_in)
     nb = nblocks_pad * tile_k
     return (
         outr.reshape(n_pol, nb, block),
@@ -245,6 +310,15 @@ def _padded_fused_core(xr, xi, f2d_rev, *, block, step, k0, delay, nblocks,
     pi_ = (block * np.sin(-2.0 * np.pi * q / block)).astype(np.float64)
     cr = (rr.astype(np.float64) * pr - ri.astype(np.float64) * pi_)
     ci = (rr.astype(np.float64) * pi_ + ri.astype(np.float64) * pr)
+    w = math.gcd(step, block)
+    if block // w == 8:
+        # the aligned fold stores each spectrum cyclically ADVANCED by
+        # ph(k)*w samples (ph(k) = (k*step/w) mod 8, period nu in k);
+        # undo it here: FFT(true)[q] = FFT(stored)[q] e^{+2 pi i q ph/8}
+        ph_k = (np.arange(nu) * (step // w)) % 8          # (nu,)
+        ang = 2.0 * np.pi * np.outer(ph_k, q) / 8.0
+        er, ei = np.cos(ang), np.sin(ang)
+        cr, ci = cr * er - ci * ei, cr * ei + ci * er
     if plan_chan_dft(block) is not None and KB % nu == 0:
         # fused DFT+ramp kernel: consumes the fold's tail-padded stream
         # directly (its own tiles are KB spectra; the ramp constant

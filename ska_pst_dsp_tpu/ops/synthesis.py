@@ -124,6 +124,7 @@ def polyphase_synthesis(
     temporal_taper: Union[str, np.ndarray, None] = "no_window",
     spectral_taper: Union[str, np.ndarray, None] = "no_window",
     combine: int = 1,
+    monotonic: bool = False,
     spectral_filter=None,
 ):
     """Invert an oversampled PFB: fine channels → original baseband stream.
@@ -144,6 +145,10 @@ def polyphase_synthesis(
       temporal_taper / spectral_taper: window name from
         :mod:`ska_pst_dsp_tpu.utils.windows` or an explicit vector.
       combine: number of coarse channels the input fine channels span.
+      monotonic: input fine channels are already in monotonic frequency
+        order (fftshifted, e.g. chomped LowCBF cascades — ops/lowcbf.py):
+        the DSB combine reordering does not apply, the channels assemble
+        in given order (perm = identity).
       spectral_filter: optional COMPLEX per-bin multiplier, length
         n_chan*FN_width in assembled-spectrum (standard FFT) bin order —
         applied per overlap-save block before the backward FFT. This is the
@@ -194,7 +199,10 @@ def polyphase_synthesis(
     else:
         dr = np.ones(fnw, dtype=np.float32)
 
-    perm = combine_channel_permutation(n_chan, combine).astype(np.int32)
+    perm = (
+        np.arange(n_chan) if monotonic
+        else combine_channel_permutation(n_chan, combine)
+    ).astype(np.int32)
 
     if spectral_filter is not None:
         if isinstance(spectral_filter, tuple):

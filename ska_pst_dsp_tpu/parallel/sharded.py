@@ -205,6 +205,7 @@ def sharded_polyphase_synthesis(
     spectral_taper: str = "no_window",
     spans_nyquist: bool = True,
     combine: int = 1,
+    monotonic: bool = False,
     axis: str = "time",
 ) -> Pair:
     """Time-sharded Golden inversion: each shard inverts its own overlap-save
@@ -244,7 +245,8 @@ def sharded_polyphase_synthesis(
     from ..ops.synthesis import combine_channel_permutation
 
     perm = jnp.asarray(
-        combine_channel_permutation(n_chan, combine).astype(np.int32)
+        (np.arange(n_chan) if monotonic
+         else combine_channel_permutation(n_chan, combine)).astype(np.int32)
     )
     geom_key = (n_chan, L, input_overlap, os_factor.nu, os_factor.de)
 

@@ -179,14 +179,20 @@ def sharded_two_stage_round_trip(
     nch2 = os1.normalize(cfg2.channels) if critical else nch2_orig
     offset = nch2_orig - nch2
     if critical and offset > 0:
-        half = nch2 // 2
-        low = s2r[:, :, : half - 1, :], s2i[:, :, : half - 1, :]
-        high = (
-            s2r[:, :, half - 1 + offset: nch2 + offset, :],
-            s2i[:, :, half - 1 + offset: nch2 + offset, :],
-        )
-        s2r = jnp.concatenate([low[0], high[0]], axis=2)
-        s2i = jnp.concatenate([low[1], high[1]], axis=2)
+        if use_lowcbf:
+            # monotonic (fftshifted) KEPT stream: chomp the band EDGES,
+            # offset/2 each end (models/two_stage.py, divergences.rst)
+            s2r = s2r[:, :, offset // 2: offset // 2 + nch2, :]
+            s2i = s2i[:, :, offset // 2: offset // 2 + nch2, :]
+        else:
+            half = nch2 // 2
+            low = s2r[:, :, : half - 1, :], s2i[:, :, : half - 1, :]
+            high = (
+                s2r[:, :, half - 1 + offset: nch2 + offset, :],
+                s2i[:, :, half - 1 + offset: nch2 + offset, :],
+            )
+            s2r = jnp.concatenate([low[0], high[0]], axis=2)
+            s2i = jnp.concatenate([low[1], high[1]], axis=2)
 
     if not invert:
         return (
@@ -225,6 +231,7 @@ def sharded_two_stage_round_trip(
         temporal_taper=cfg2.temporal_taper,
         spans_nyquist=not inv_critical,
         combine=combine,
+        monotonic=use_lowcbf,
         axis=axis,
     )
     valid = geom2.n_blocks(t2) * geom2.output_keep

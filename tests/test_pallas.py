@@ -345,6 +345,33 @@ class TestFusedPaddedAnalysis:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 1e-5
 
+    def test_aligned_fold_block0_streaming_ramp(self):
+        # d = block/gcd(step,block) == 8 selects the shuffle-free aligned
+        # fold whose per-spectrum cyclic shift is undone in the ramp
+        # constant — block0 != 0 checks the local-k rotation composes
+        # with the k0-offset derotation correctly
+        from ska_pst_dsp_tpu.ops import polyphase_analysis_padded
+        from ska_pst_dsp_tpu.ops.pallas.analysis_padded_fused import (
+            polyphase_analysis_padded_fused,
+        )
+
+        block, os_f = 1024, Rational(8, 7)
+        filt = np.asarray(fir.design_pfb_fir_filter(block, os_f, 4))
+        x = _noise(2, 60_000, seed=7)
+        ref = np.asarray(
+            polyphase_analysis_padded(
+                x, filt, block, os_f, block0=5, apply_delay=False
+            )
+        )
+        got = np.asarray(
+            polyphase_analysis_padded_fused(
+                x, filt, block, os_f, block0=5, apply_delay=False,
+                interpret=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+
 
 class TestOutOfCoreIfft:
     """ops/pallas/ifft_big.py vs the composed roll+ifft+keep reference —
