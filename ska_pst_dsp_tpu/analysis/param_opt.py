@@ -33,7 +33,7 @@ from ..ops import polyphase_analysis, polyphase_synthesis
 from ..utils import geometry
 from ..utils.config import load_config
 from ..utils.rational import Rational
-from ..verify.util import DomainPerformance
+from ..verify.util import DomainPerformance, dB, mean_spurious
 
 module_logger = logging.getLogger(__name__)
 
@@ -121,10 +121,71 @@ def phase_offset_effect(n_chan=64, os_f=Rational(4, 3), L=128, ov=24,
     return records
 
 
+def overlap_parameter_search(n_chan=256, os_f=Rational(4, 3),
+                             fft_lengths=(512, 1024, 2048),
+                             overlaps=(128, 256, 512),
+                             npoints=200, nblocks=3, window="tukey"):
+    """2-D exhaustive fft_length x overlap x window purity search
+    (overlap_parameter_search.m:1-216): for every (input_fft_length,
+    overlap) combination with L/ov > 2, sweep ~npoints tone frequencies
+    across one block (freq_domain_offsets, :30-35) through the
+    analysis + Golden-inversion round trip, recording the reference's six
+    spectral measures (:59-66): max/total/mean power of the time-series
+    difference and max/total/mean spurious power of the inverted
+    spectrum at the reference's 2*block FFT length (:106)."""
+    perf = DomainPerformance(guard=1)
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 12)
+    records = []
+    for L in fft_lengths:
+        for ov in overlaps:
+            if L / ov <= 2:
+                continue  # :68-70
+            block = os_f.normalize(L) * n_chan
+            nbins = nblocks * block
+            nfft = min(2 * block, nbins)
+            stepf = max(1, round(block / npoints))
+            freqs = np.arange(1, block + 1, stepf) * nblocks
+            for fbin in freqs:
+                sig = complex_sinusoid(
+                    nbins, [int(fbin)], [np.pi / 4], dtype=np.complex64
+                )
+                try:
+                    inp, inv = _roundtrip(
+                        sig, filt, n_chan, os_f, L, ov, True, taper=window
+                    )
+                except ValueError:
+                    continue
+                if inv.size < nfft:
+                    continue
+                d = perf.temporal_difference(inp, inv)
+                s = perf.spectral_performance(inv, nfft)
+                spec = np.fft.fft(np.asarray(inv).ravel()[:nfft]) / nfft
+                records.append({
+                    "fft_length": L, "overlap": ov, "window": window,
+                    "frequency": int(fbin),
+                    "diff_max": float(dB(d["max"])),
+                    "diff_sum": float(dB(d["sum"])),
+                    "diff_mean": float(dB(d["mean"])),
+                    "max_spurious": s["max_spurious"],
+                    "total_spurious": s["total_spurious"],
+                    "mean_spurious": mean_spurious(spec),
+                })
+            if records:
+                last = [r for r in records
+                        if r["fft_length"] == L and r["overlap"] == ov]
+                if last:
+                    worst = max(r["max_spurious"] for r in last)
+                    module_logger.info(
+                        "L=%d ov=%d: %d points, worst max_spurious %.1f dB",
+                        L, ov, len(last), worst)
+    return records
+
+
 STUDIES = {
     "deripple": derippling_effect,
     "overlap": overlap_effect,
     "phase": phase_offset_effect,
+    "search": overlap_parameter_search,
 }
 
 
@@ -132,12 +193,22 @@ def run(argv=None) -> int:
     p = argparse.ArgumentParser(prog="param_opt",
                                 description="PFB parameter studies")
     p.add_argument("--study", choices=sorted(STUDIES), default="overlap")
+    p.add_argument("--npoints", type=int, default=0,
+                   help="frequency points per combo (search study; "
+                        "default = the reference's 200)")
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if a.verbose else logging.INFO)
-    records = STUDIES[a.study]()
+    kwargs = {}
+    if a.study == "search" and a.npoints:
+        kwargs["npoints"] = a.npoints
+    records = STUDIES[a.study](**kwargs)
     os.makedirs(products_dir, exist_ok=True)
-    out = os.path.join(products_dir, f"param_opt.{a.study}.json")
+    out = os.path.join(
+        products_dir,
+        "report.param_search.json" if a.study == "search"
+        else f"param_opt.{a.study}.json",
+    )
     with open(out, "w") as f:
         json.dump(records, f, cls=NumpyEncoder, indent=2)
     module_logger.info("study written to %s", out)

@@ -57,6 +57,36 @@ def run(argv=None) -> int:
                 # in-stream testers actually see output, and place the
                 # impulse beyond the stage-2 filter warm-up
                 two_stage = extra is not None and "--two_stage" in extra
+                if two_stage:
+                    from ..utils.config import load_config
+
+                    nch = load_config(cfg).channels
+                    if nch > 1024:
+                        # a cascade of nch x nch channelisers needs
+                        # ~nch^2 * fft_length raw samples per inversion
+                        # block (mid: 4096^2 * 512 = 8.6 Gsamples) — out
+                        # of reach for an in-stream CI sweep, and the
+                        # reference never exercises a mid cascade either
+                        # (its "two-stage mid" is the two-stage FIR
+                        # DESIGN, design_PFB_FIR_filter_two_stage.m, not
+                        # a channeliser cascade)
+                        label = " ".join(
+                            ["--signal", signal, "--cfg", cfg, "--test"]
+                            + extra
+                        )
+                        results[label] = {
+                            "status": "SKIP",
+                            "reason": (
+                                f"{nch}x{nch} cascade needs ~nch^2*L = "
+                                f"{nch * nch * 512 / 1e9:.1f} Gsamples per "
+                                "inversion block; the reference's "
+                                "two-stage mid is the FIR design, not a "
+                                "channeliser cascade"
+                            ),
+                        }
+                        module_logger.warning("SKIP %s (cascade scale)",
+                                              label)
+                        continue
                 # the two-stage inverse consumes a full inversion block of
                 # stage-2 spectra per coarse channel before emitting anything
                 # (~n_chan^2 * fft_length raw samples)

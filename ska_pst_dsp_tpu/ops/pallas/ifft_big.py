@@ -49,6 +49,7 @@ tests/test_pallas.py. Reference: polyphase_synthesis.m:253-316.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -256,6 +257,10 @@ def fused_big_ifft_oc(
         ],
         interpret=interpret,
     )(x3r, x3i, *consts1, e_r, e_i)
+
+    if _os.environ.get("SKA_PST_IFFT_BIG_STAGE") == "1":
+        # profiling knob: stop after kernel 1 (tools/ stage timing only)
+        return a1r, a1i
 
     # ---- kernel 2: N-twiddle + outer n1-point DFT, kept columns --------
     def kern2(ar_ref, ai_ref, wr_ref, wi_ref, rollr_ref, rolli_ref,

@@ -67,10 +67,17 @@ _WIDE = _os.environ.get("SKA_PST_IFFT_WIDE", "0") == "1"
 
 def plan_ifft(n: int, lo: int) -> Optional[Tuple[int, int]]:
     """(n2, n1) factorization usable by the fused epilogue, or None.
-    Smallest n2 that is a multiple of 128 wins: the inner GEMM's M is
-    kb*n1 (bigger n1 = fatter) and both contraction dims stay >= 128."""
+
+    Candidate n2 must be a multiple of 128 (lane-aligned inner width) with
+    n1 <= 512, n1 % 8 == 0 and the keep geometry divisible. The SMALLEST
+    n2 wins: total GEMM flops are 18*n1*n2*(n2 + n1_keep), minimized at
+    small n2, and the matched-flops shape probe (PERF_NOTES round 5)
+    shows per-flop throughput is nearly flat (~24-37 TFLOPS) across the
+    candidate shapes — so flop count, not GEMM shape, decides.
+    SKA_PST_IFFT_N2 overrides for A/B."""
     if (n - 2 * lo) <= 0:
         return None
+    force = int(_os.environ.get("SKA_PST_IFFT_N2", "0"))
     for n2 in range(128, 513, 128):
         if n % n2:
             continue
@@ -80,6 +87,8 @@ def plan_ifft(n: int, lo: int) -> Optional[Tuple[int, int]]:
         if lo % n2 or (n - 2 * lo) % n2:
             continue
         if ((n - 2 * lo) // n2) % 8:
+            continue
+        if force and n2 != force:
             continue
         return n2, n1
     return None

@@ -108,3 +108,27 @@ class TestPhrap:
         ])
         assert rc == 0
         assert os.path.exists(out)
+
+
+class TestParamSearch:
+    """overlap_parameter_search port (overlap_parameter_search.m:1-216):
+    the 2-D fft_length x overlap grid with the reference's six measures."""
+
+    def test_search_grid_and_measures(self):
+        from ska_pst_dsp_tpu.analysis.param_opt import (
+            overlap_parameter_search,
+        )
+
+        recs = overlap_parameter_search(
+            n_chan=64, fft_lengths=(256, 512), overlaps=(64, 128),
+            npoints=4,
+        )
+        combos = {(r["fft_length"], r["overlap"]) for r in recs}
+        # L/ov <= 2 combos are skipped (:68-70): (256,128) must be absent
+        assert combos == {(256, 64), (512, 64), (512, 128)}
+        for r in recs:
+            for key in ("diff_max", "diff_sum", "diff_mean",
+                        "max_spurious", "total_spurious", "mean_spurious"):
+                assert key in r
+            # a pure tone through the round trip must stay pure
+            assert r["max_spurious"] < -55.0

@@ -123,8 +123,10 @@ class TestFusedSynthesis:
         return ref, got
 
     def test_plan_low_epilogue(self):
-        # low: 49152-point IFFT = 128x384 (smallest 128-multiple n2 wins:
-        # fat kb*n1-row inner, transpose-free kept output), overlap 9216
+        # low: 49152-point IFFT = 128x384 (smallest n2 wins — it
+        # minimizes total GEMM flops 18*n1*n2*(n2+keep), and the
+        # matched-flops shape probe shows per-flop throughput is nearly
+        # flat across candidate shapes; PERF_NOTES r5), overlap 9216
         assert plan_ifft(49152, 9216) == (128, 384)
         # mid: 1.8M-point blocks exceed VMEM — composed fallback
         assert plan_ifft(1_835_008, 458_752) is None
