@@ -97,6 +97,47 @@ def comm_model(n_chan, taps, L, ov, os_f, n_pol=2, dc=2):
     }
 
 
+#: collective HLO op mnemonics counted by :func:`_hlo_collective_stats`
+_COLLECTIVES = (
+    "all-to-all", "collective-permute", "all-reduce", "all-gather",
+    "reduce-scatter",
+)
+
+
+def _hlo_collective_stats(fn, args) -> dict:
+    """Count the compiled program's ACTUAL collective ops and their
+    payload bytes from the optimized HLO — ground truth for what moves
+    over the interconnect, immune to virtual-mesh wall-clock artifacts."""
+    import re
+
+    txt = fn.lower(*args).compile().as_text()
+    stats = {}
+    # e.g.:  %all-to-all.3 = f32[2,256,1536]{2,1,0} all-to-all(...)
+    # or, tuple-result:  %x = (f32[..]{..}, f32[..]{..}) all-to-all(...)
+    shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    dt_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "f64": 8, "s8": 1, "u8": 1, "pred": 1}
+    for line in txt.splitlines():
+        if " = " not in line:
+            continue
+        lhs, _, rhs = line.partition(" = ")
+        opm = re.search(r"^\s*\(?[^=]*?([a-z][a-z-]*)\(", rhs)
+        if not opm or opm.group(1) not in _COLLECTIVES:
+            continue
+        op = opm.group(1)
+        payload = 0
+        for dtype, dims in shape_re.findall(rhs[: opm.start(1)]):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            payload += n * dt_bytes.get(dtype, 4)
+        e = stats.setdefault(op, {"count": 0, "payload_bytes": 0})
+        e["count"] += 1
+        e["payload_bytes"] += payload
+    return stats or {"none": {"count": 0, "payload_bytes": 0}}
+
+
 def run(argv=None) -> int:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -122,17 +163,22 @@ def run(argv=None) -> int:
     avail = len(jax.devices())
     counts = [d for d in a.devices if d <= avail]
 
+    virtual = "force_host_platform" in os.environ.get("XLA_FLAGS", "")
     report = {
         "platform": jax.default_backend(),
         "n_devices_available": avail,
-        "virtual_devices": "force_host_platform" in os.environ.get(
-            "XLA_FLAGS", ""
-        ),
+        "virtual_devices": virtual,
         "geometry": "low (256 chan, OS 4/3, 3073 taps, L=256, ov=48)",
         "note": (
-            "weak scaling: samples per device held constant; efficiency = "
-            "throughput / (n_devices * single-device throughput). On a "
-            "virtual CPU mesh this validates program structure, not ICI."
+            "Per device count: the compiled program's ACTUAL collective "
+            "ops (counts + payload bytes from the optimized HLO) plus the "
+            "analytic comm model. Wall-clock 'efficiency' is deliberately "
+            "NOT reported on a virtual mesh — N oversubscribed devices "
+            "sharing one host's cores cannot weak-scale, and such numbers "
+            "read as a broken machine (round-4 report's 14% at 8 devices "
+            "was exactly that artifact). On real multi-chip hardware the "
+            "collective payloads below ride the ICI at its ~45 GB/s/link, "
+            "giving the modeled_comm_seconds_per_Gsample figures."
         ),
         "runs": {},
         "comm_model": {
@@ -141,7 +187,6 @@ def run(argv=None) -> int:
         },
     }
 
-    base_msps = {}
     for nd in counts:
         n_dat = nd * a.samples_per_device
         rng = np.random.default_rng(0)
@@ -157,27 +202,13 @@ def run(argv=None) -> int:
                 (xa, xb), filt, n_chan, os_f, L, ov, m
             )
         )
-        dt = _measure(fn, args, a.reps)
-        msps = 2 * n_dat / dt / 1e6
-        base_msps.setdefault("1d", msps if nd == counts[0] else base_msps.get("1d"))
         entry["1d"] = {
-            "msps": round(msps, 1),
-            # efficiency is relative to the SMALLEST measured device count
-            # (counts[0]) — only "vs single device" when 1 is in the list
-            "efficiency": round(
-                msps / (nd / counts[0] * base_msps["1d"]), 3
-            ),
-            "efficiency_vs_n": counts[0],
-            # on a VIRTUAL mesh all devices share one host's cores, so
-            # ideal weak scaling holds total throughput CONSTANT; the
-            # retention ratio is the structure-only proxy for scaling
-            # overhead (collectives + resharding added by the N-way
-            # program): >= 0.9 means the sharded program costs <= 10%
-            # over the unsharded one on identical compute
-            "host_throughput_retention": round(
-                msps / base_msps["1d"], 3
-            ),
+            "collectives": _hlo_collective_stats(fn, args),
+            "raw_msamples": round(2 * n_dat / 1e6, 1),
         }
+        if not virtual:
+            dt = _measure(fn, args, a.reps)
+            entry["1d"]["msps"] = round(2 * n_dat / dt / 1e6, 1)
 
         if nd % 2 == 0:
             mesh2 = make_mesh_2d(2, nd // 2)
@@ -188,8 +219,12 @@ def run(argv=None) -> int:
                     (xa, xb), filt, n_chan, os_f, L, ov, m
                 )
             )
-            dt2 = _measure(fn2, args2, a.reps)
-            entry["2d_2xT"] = {"msps": round(2 * n_dat / dt2 / 1e6, 1)}
+            entry["2d_2xT"] = {
+                "collectives": _hlo_collective_stats(fn2, args2),
+            }
+            if not virtual:
+                dt2 = _measure(fn2, args2, a.reps)
+                entry["2d_2xT"]["msps"] = round(2 * n_dat / dt2 / 1e6, 1)
 
         report["runs"][str(nd)] = entry
         module_logger.info("devices=%d: %s", nd, entry)

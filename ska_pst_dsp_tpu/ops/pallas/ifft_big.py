@@ -94,15 +94,69 @@ def plan_big_ifft(n: int, lo: int) -> Optional[Tuple[int, int, int]]:
     return n2 // q, q, n1
 
 
+def _use_radix4(q: int) -> bool:
+    """Kernel 1's beta-DFT runs the radix-4 split (4x fewer MXU MACs:
+    q/4 per point instead of q at q=512) when the sub-factor qm = q/4
+    is lane-aligned (every sub-tile stays >= 128 lanes wide — a radix-8
+    split would leave 64-lane tiles, below Mosaic's block minimum)."""
+    if _os.environ.get("SKA_PST_IFFT_BIG_DENSE") == "1":
+        return False
+    return q % 4 == 0 and (q // 4) % 128 == 0
+
+
+def _idft4(xs):
+    """4-point INVERSE DFT (e^{+2pi i h r/4}, twiddles 1/+i/-1/-i only)
+    of split-complex (re, im) pairs."""
+    (a, b, c, d) = xs
+    e0 = (a[0] + c[0], a[1] + c[1])
+    e1 = (a[0] - c[0], a[1] - c[1])
+    o0 = (b[0] + d[0], b[1] + d[1])
+    # +i * (b - d)
+    o1 = (-(b[1] - d[1]), b[0] - d[0])
+    return [
+        (e0[0] + o0[0], e0[1] + o0[1]),
+        (e1[0] + o1[0], e1[1] + o1[1]),
+        (e0[0] - o0[0], e0[1] - o0[1]),
+        (e1[0] - o1[0], e1[1] - o1[1]),
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_consts(q: int):
+    """Host constants for kernel 1's radix-4 beta split (beta = b1 + qm*h,
+    delta = r + 4*m): the r-twiddle t[r, b1] = e^{+2pi i b1 r / q} and the
+    qm-point inverse-DFT Karatsuba triple E[b1, m] = e^{+2pi i b1 m/qm}."""
+    qm = q // 4
+    r, b1 = np.meshgrid(np.arange(4), np.arange(qm), indexing="ij")
+    ang = 2.0 * np.pi * (r.astype(np.float64) * b1) / q
+    t_r = np.cos(ang).astype(np.float32)
+    t_i = np.sin(ang).astype(np.float32)
+    b1, m = np.meshgrid(np.arange(qm), np.arange(qm), indexing="ij")
+    ang = 2.0 * np.pi * ((b1 * m) % qm) / qm
+    eqm = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
+    return t_r, t_i, eqm
+
+
 @functools.lru_cache(maxsize=None)
 def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
-               gain: float):
+               gain: float, radix: bool = False):
     """Host constants: c7 (p, p) alpha-DFT; tw2 (p, q) beta twiddle;
     Dq (q, q) Karatsuba; rollw (p, q) gain + k2-roll factor;
-    outer (n1, n1_keep) Karatsuba with the k1-roll factor folded."""
+    outer (n1, n1_keep) Karatsuba with the k1-roll factor folded.
+
+    ``radix``: kernel 1 emits delta in PERMUTED order j = r*qm + m for
+    delta = r + 4*m (the radix-4 split's natural output order) — the
+    delta-indexed constants (rollw, W) are built on that grid and the
+    final time reorder accounts for it (one XLA transpose either way)."""
     n2 = p * q
     k1_lo = lo // n2
     n1_keep = (n - 2 * lo) // n2
+    if radix:
+        qm = q // 4
+        j = np.arange(q)
+        delta_of_j = (j // qm) + 4 * (j % qm)
+    else:
+        delta_of_j = np.arange(q)
 
     g, a = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
     c7 = np.exp(2j * np.pi * g * a / p)
@@ -114,8 +168,8 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
     ang = 2.0 * np.pi * ((b * d) % q) / q
     dq = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
 
-    g, d = np.meshgrid(np.arange(p), np.arange(q), indexing="ij")
-    k2 = g + p * d
+    g = np.arange(p)[:, None]
+    k2 = g + p * delta_of_j[None, :]
     rollw = (gain / n) * np.exp(-2j * np.pi * roll * k2.astype(np.float64) / n)
 
     # N-level twiddle W[k2, i1] = e^{2pi i i1 k2 / n} as (p, q/CHUNK2, n1,
@@ -130,7 +184,8 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
     w_i = np.empty((p, nch_d, n1, chunk2), np.float32)
     for gg in range(p):
         for dd in range(nch_d):
-            kk2 = gg + p * (dd * chunk2 + np.arange(chunk2, dtype=np.float64))
+            dj = delta_of_j[dd * chunk2: (dd + 1) * chunk2].astype(np.float64)
+            kk2 = gg + p * dj
             ang = 2.0 * np.pi * (i1 * kk2[None, :] % n) / n
             w_r[gg, dd] = np.cos(ang)
             w_i[gg, dd] = np.sin(ang)
@@ -171,9 +226,18 @@ def fused_big_ifft_oc(
     n_pol, n_blocks, n_flat = flatr.shape
     assert n_flat == n
     n1_keep = (n - 2 * lo) // n2
+    radix = _use_radix4(q)
+    qm = q // 4
     (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer, (w_r, w_i)) = _constants(
-        n, p, q, n1, lo, roll, gain
+        n, p, q, n1, lo, roll, gain, radix
     )
+    if radix:
+        t4r, t4i, eqm = _radix_consts(q)
+        t4r = t4r.reshape(4 * qm, 1)
+        t4i = t4i.reshape(4 * qm, 1)
+    else:
+        t4r = np.zeros((8, 128), np.float32)
+        t4i = np.zeros((8, 128), np.float32)
     nchunk = n1 // _CHUNK
 
     x3r = flatr.reshape(n_pol, n_blocks, n2, n1)
@@ -181,8 +245,8 @@ def fused_big_ifft_oc(
 
     # ---- kernel 1: inner n2-point DFT per i1 column --------------------
     def kern1(xr_ref, xi_ref, c7r_ref, c7i_ref, tw2r_ref, tw2i_ref,
-              q1h, q1l, q2h, q2l, q3h, q3l, er_ref, ei_ref,
-              outr_ref, outi_ref):
+              q1h, q1l, q2h, q2l, q3h, q3l, t8r_ref, t8i_ref,
+              er_ref, ei_ref, outr_ref, outi_ref):
         g = pl.program_id(3)
         # p-point DFT over alpha (rows q*alpha+beta of the (n2, C) tile)
         ar = jnp.zeros((q, _CHUNK), jnp.float32)
@@ -206,9 +270,35 @@ def fused_big_ifft_oc(
         t2i = tw2i_ref[g].reshape(q, 1)
         br = ar * t2r - ai * t2i
         bi = ar * t2i + ai * t2r
+        dn = (((0,), (0,)), ((), ()))
+        if radix:
+            # radix-4 split of the q-point beta DFT (beta = b1 + qm*h,
+            # delta = r + 4*m): e^{2pi i beta delta/q} = w4[h,r] *
+            # t[r,b1] * E[b1,m]. A trivial-twiddle 4-point VPU inverse
+            # DFT over the aligned qm-row groups, the r-twiddle, then
+            # ONE shared (K=qm) Karatsuba GEMM with all 4 r-planes
+            # lane-stacked — 4x fewer MXU MACs than the dense q x q
+            # product, and every tile stays >= 128 lanes wide.
+            zs = _idft4([
+                (br[h * qm:(h + 1) * qm], bi[h * qm:(h + 1) * qm])
+                for h in range(4)
+            ])
+            zr_parts, zi_parts = [], []
+            for r in range(4):
+                tr = t8r_ref[r * qm:(r + 1) * qm, :]
+                ti = t8i_ref[r * qm:(r + 1) * qm, :]
+                zr, zi = zs[r]
+                zr_parts.append(zr * tr - zi * ti)
+                zi_parts.append(zr * ti + zi * tr)
+            zr_all = jnp.concatenate(zr_parts, axis=1)   # (qm, 4*CHUNK)
+            zi_all = jnp.concatenate(zi_parts, axis=1)
+            consts = ((q1h[:], q1l[:]), (q2h[:], q2l[:]), (q3h[:], q3l[:]))
+            yr, yi = cfft.kar_dot(zr_all, zi_all, consts, dn)
+            outr_ref[0, 0, 0] = yr.reshape(4, _CHUNK, qm)
+            outi_ref[0, 0, 0] = yi.reshape(4, _CHUNK, qm)
+            return
         # q-point DFT over beta: sublane contraction, Karatsuba
         consts = ((q1h[:], q1l[:]), (q2h[:], q2l[:]), (q3h[:], q3l[:]))
-        dn = (((0,), (0,)), ((), ()))
         yr, yi = cfft.kar_dot(br, bi, consts, dn)  # (CHUNK, q) = (i1, delta)
         outr_ref[0, 0, 0] = yr
         outi_ref[0, 0, 0] = yi
@@ -238,13 +328,30 @@ def fused_big_ifft_oc(
         e_r = e_r[None]
         e_i = e_i[None]
 
+    gemm1 = eqm if radix else dq
     consts1 = [c7r, c7i, tw2r, tw2i,
-               dq[0][0], dq[0][1], dq[1][0], dq[1][1], dq[2][0], dq[2][1]]
+               gemm1[0][0], gemm1[0][1], gemm1[1][0], gemm1[1][1],
+               gemm1[2][0], gemm1[2][1]]
+    if radix:
+        # r-twiddle tiles pre-broadcast to (4*qm, CHUNK): the kernel's
+        # per-r (qm, CHUNK) slices multiply zs elementwise shape-exact
+        consts1 += [
+            np.broadcast_to(t4r, (4 * qm, _CHUNK)).copy(),
+            np.broadcast_to(t4i, (4 * qm, _CHUNK)).copy(),
+        ]
+        out1_spec = pl.BlockSpec(
+            (1, 1, 1, 4, _CHUNK, qm), lambda pi, b, c, g: (pi, b, g, 0, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        a1_shape = (n_pol, n_blocks, p, 4, n1, qm)
+    else:
+        consts1 += [t4r, t4i]
+        out1_spec = pl.BlockSpec(
+            (1, 1, 1, _CHUNK, q), lambda pi, b, c, g: (pi, b, g, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        a1_shape = (n_pol, n_blocks, p, n1, q)
     consts1 = [jnp.asarray(m) for m in consts1]
-    out1_spec = pl.BlockSpec(
-        (1, 1, 1, _CHUNK, q), lambda pi, b, c, g: (pi, b, g, c, 0),
-        memory_space=pltpu.VMEM,
-    )
     a1r, a1i = pl.pallas_call(
         kern1,
         grid=grid1,
@@ -252,8 +359,8 @@ def fused_big_ifft_oc(
         + [espec, espec],
         out_specs=[out1_spec, out1_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, n_blocks, p, n1, q), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, n_blocks, p, n1, q), jnp.float32),
+            jax.ShapeDtypeStruct(a1_shape, jnp.float32),
+            jax.ShapeDtypeStruct(a1_shape, jnp.float32),
         ],
         interpret=interpret,
     )(x3r, x3i, *consts1, e_r, e_i)
@@ -268,8 +375,17 @@ def fused_big_ifft_oc(
         # W[k2, i1] tile delivered per (gamma, delta-chunk) by BlockSpec
         wr = wr_ref[0, 0]
         wi = wi_ref[0, 0]
-        ar = ar_ref[0, 0, 0]
-        ai = ai_ref[0, 0, 0]
+        if radix:
+            # (rk, n1, qm) r-plane tiles → lane-concat to the (n1,
+            # chunk2) delta_perm-ordered slab (128-lane pieces, aligned)
+            a6r = ar_ref[0, 0, 0]
+            a6i = ai_ref[0, 0, 0]
+            rk = a6r.shape[0]
+            ar = jnp.concatenate([a6r[r] for r in range(rk)], axis=1)
+            ai = jnp.concatenate([a6i[r] for r in range(rk)], axis=1)
+        else:
+            ar = ar_ref[0, 0, 0]
+            ai = ai_ref[0, 0, 0]
         br = ar * wr - ai * wi
         bi = ar * wi + ai * wr
         # gain + k2-part of the roll modulation (host constant, delivered
@@ -287,10 +403,17 @@ def fused_big_ifft_oc(
 
     chunk2 = _chunk2(q)
     grid2 = (n_pol, n_blocks, p, q // chunk2)
-    in_a = pl.BlockSpec(
-        (1, 1, 1, n1, chunk2), lambda pi, b, g, d: (pi, b, g, 0, d),
-        memory_space=pltpu.VMEM,
-    )
+    if radix:
+        rk = chunk2 // qm   # r-planes per delta_perm chunk
+        in_a = pl.BlockSpec(
+            (1, 1, 1, rk, n1, qm), lambda pi, b, g, d: (pi, b, g, d, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        in_a = pl.BlockSpec(
+            (1, 1, 1, n1, chunk2), lambda pi, b, g, d: (pi, b, g, 0, d),
+            memory_space=pltpu.VMEM,
+        )
     in_w = pl.BlockSpec(
         (1, 1, n1, chunk2), lambda pi, b, g, d: (g, d, 0, 0),
         memory_space=pltpu.VMEM,
@@ -339,10 +462,17 @@ def fused_big_ifft_oc(
       *consts2)
 
     # t - lo = n2*j + p*delta + gamma: reorder (gamma, delta, j) -> t with
-    # one XLA transpose over the kept output only
+    # one XLA transpose over the kept output only (the radix path's
+    # delta axis arrives permuted as (r, m) with delta = r + 4m — still
+    # one pure transpose, ordered (k1, m, r, gamma))
     keep = (n - 2 * lo)
 
     def order(y):
+        if radix:
+            y = y.reshape(n_pol, n_blocks, p, 4, qm, n1_keep)
+            return jnp.transpose(y, (0, 1, 5, 4, 3, 2)).reshape(
+                n_pol, n_blocks, keep
+            )
         return jnp.transpose(y, (0, 1, 4, 3, 2)).reshape(
             n_pol, n_blocks, keep
         )

@@ -390,11 +390,11 @@ class TestOutOfCoreIfft:
 
         assert plan_ifft(49152, 9216) is not None
 
-    def _run(self, has_elem):
+    def _run(self, has_elem, pqn=(7, 128, 128)):
         import jax.numpy as jnp
         from ska_pst_dsp_tpu.ops.pallas.ifft_big import fused_big_ifft_oc
 
-        p, q, n1 = 7, 128, 128
+        p, q, n1 = pqn
         n = p * q * n1
         n2 = p * q
         lo = n2 * 8
@@ -427,3 +427,14 @@ class TestOutOfCoreIfft:
 
     def test_elementwise_factor(self):
         self._run(has_elem=True)
+
+    def test_radix4_beta_split(self):
+        # q = 512 (qm = 128) triggers kernel 1's radix-4 beta split —
+        # mid's production q; the dense q x q GEMM never runs
+        from ska_pst_dsp_tpu.ops.pallas.ifft_big import _use_radix4
+
+        assert _use_radix4(512) and not _use_radix4(128)
+        self._run(has_elem=False, pqn=(3, 512, 128))
+
+    def test_radix4_beta_split_elem(self):
+        self._run(has_elem=True, pqn=(3, 512, 128))
