@@ -181,11 +181,51 @@ def overlap_parameter_search(n_chan=256, os_f=Rational(4, 3),
     return records
 
 
+def pipeline_study(n_chan=8, os_f=Rational(8, 7), L=128, nblocks=400):
+    """The pfb_param_opt study driver (pipeline.m:1-80): one tone and one
+    impulse through the analysis + inversion round trip at the study
+    geometry (8 chan, OS 8/7, L=128, zero overlap), with the run's meta
+    recorded alongside the performance measures — the role of
+    ``dump_meta_data`` + ``pipeline.{freq,time}.meta.json``."""
+    from ..data_gen.generate_test_vector import time_domain_impulse
+
+    perf = DomainPerformance(guard=1)
+    filt = fir.design_pfb_fir_filter(n_chan, os_f, 10)
+    block = os_f.normalize(L) * n_chan
+    nbins = nblocks * block
+    records = []
+
+    tone = complex_sinusoid(nbins, [4], [np.pi / 4], dtype=np.complex64)
+    inp, inv = _roundtrip(tone, filt, n_chan, os_f, L, 0, True)
+    nfft = (inv.size // block) * block
+    records.append({
+        "signal": "complex_sinusoid", "frequency": 4, "phase": np.pi / 4,
+        "n_bins": nbins, "input_fft_length": L, "overlap": 0,
+        **perf.spectral_performance(inv, nfft),
+        "mean_diff": perf.temporal_difference(inp, inv)["mean"],
+    })
+    module_logger.info("%s", records[-1])
+
+    pos = int(0.1874 * nbins)
+    imp = time_domain_impulse(nbins, [pos], [1], dtype=np.complex64)
+    inp, inv = _roundtrip(imp, filt, n_chan, os_f, L, 0, True)
+    records.append({
+        "signal": "time_domain_impulse", "impulse_position": pos,
+        "impulse_width": 1, "n_bins": nbins,
+        "input_fft_length": L, "overlap": 0,
+        **perf.temporal_performance(inv),
+        "mean_diff": perf.temporal_difference(inp, inv)["mean"],
+    })
+    module_logger.info("%s", records[-1])
+    return records
+
+
 STUDIES = {
     "deripple": derippling_effect,
     "overlap": overlap_effect,
     "phase": phase_offset_effect,
     "search": overlap_parameter_search,
+    "pipeline": pipeline_study,
 }
 
 

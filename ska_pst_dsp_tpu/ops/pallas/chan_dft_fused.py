@@ -145,27 +145,27 @@ def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
             for i in range(8)
         ]
         bs = _dft8(xs)                       # 8 x (KB, b1) split pairs
-        twr = twr_ref[:]
+        # sublane-stack the 8 k2 planes and run ONE (8*KB, b1, b1)
+        # Karatsuba GEMM against the SHARED outer matrix (the round-4
+        # per-k2 form launched 8 M=KB GEMMs per step — M=32 tiles,
+        # measured ~1.9 ms standalone at mid); the twiddle and the
+        # derotation ramp are k2-major (8*KB, b1) host constants
+        br_all = jnp.concatenate([b[0] for b in bs], axis=0)
+        bi_all = jnp.concatenate([b[1] for b in bs], axis=0)
+        twr = twr_ref[:]                     # (8*KB, b1), k2-major
         twi = twi_ref[:]
-        rr = cr_ref[:]                       # ramp, k2-major (8*KB, b1)
-        ri = ci_ref[:]
+        ar = br_all * twr - bi_all * twi
+        ai = br_all * twi + bi_all * twr
         outer_c = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
         dn = (((1,), (0,)), ((), ()))
-        for k2 in range(8):
-            br, bi = bs[k2]
-            tr = twr[k2]                     # (b1,) row of the value
-            ti = twi[k2]
-            ar = br * tr - bi * ti
-            ai = br * ti + bi * tr
-            yr, yi = cfft.kar_dot(ar, ai, outer_c, dn)   # (KB, b1)
-            # k2-major output planes (the lane interleave to channel
-            # order 8*k1 + k2 is not a lowerable shape cast in-kernel —
-            # one XLA transpose outside restores channel order); the
-            # derotation ramp rides here, pre-permuted to match
-            cr2 = rr[k2 * KB:(k2 + 1) * KB]
-            ci2 = ri[k2 * KB:(k2 + 1) * KB]
-            outr_ref[0, k2] = yr * cr2 - yi * ci2
-            outi_ref[0, k2] = yr * ci2 + yi * cr2
+        yr, yi = cfft.kar_dot(ar, ai, outer_c, dn)   # (8*KB, b1)
+        rr = cr_ref[:]                       # ramp, k2-major (8*KB, b1)
+        ri = ci_ref[:]
+        # k2-major output planes (the lane interleave to channel order
+        # 8*k1 + k2 is not a lowerable shape cast in-kernel — one XLA
+        # transpose outside restores channel order)
+        outr_ref[0] = (yr * rr - yi * ri).reshape(8, KB, b1)
+        outi_ref[0] = (yr * ri + yi * rr).reshape(8, KB, b1)
 
     spec_x = pl.BlockSpec((1, KB, block), lambda p, b: (p, b, 0),
                           memory_space=pltpu.VMEM)
@@ -180,6 +180,9 @@ def chan_dft_ramp(gr, gi, cr, ci, *, block: int, interpret: bool = False):
     # kernel consumes it per k2 plane — permute the tiny constant once
     cr_p = jnp.concatenate([cr[:, k2::8] for k2 in range(8)], axis=0)
     ci_p = jnp.concatenate([ci[:, k2::8] for k2 in range(8)], axis=0)
+    # twiddle tiled k2-major to the stacked (8*KB, b1) GEMM layout
+    tw_r = np.repeat(tw_r, KB, axis=0)
+    tw_i = np.repeat(tw_i, KB, axis=0)
     consts = [tw_r, tw_i,
               outer[0][0], outer[0][1], outer[1][0], outer[1][1],
               outer[2][0], outer[2][1]]
