@@ -104,6 +104,16 @@ def _use_radix4(q: int) -> bool:
     return q % 4 == 0 and (q // 4) % 128 == 0
 
 
+def _k2_radix(n1: int, n1_keep: int, k1_lo: int) -> bool:
+    """Kernel 2 runs the radix-4 split of its i1 contraction when the
+    row groups stay sublane-aligned and the kept k1 = r1 + 4*m1 range
+    has the same m1 span for every r1."""
+    if _os.environ.get("SKA_PST_IFFT_BIG_DENSE2") == "1":
+        return False
+    return (n1 % 4 == 0 and (n1 // 4) % 8 == 0
+            and n1_keep % 4 == 0 and k1_lo % 4 == 0)
+
+
 def _idft4(xs):
     """4-point INVERSE DFT (e^{+2pi i h r/4}, twiddles 1/+i/-1/-i only)
     of split-complex (re, im) pairs."""
@@ -197,6 +207,27 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
     d1 = np.exp(1j * ang) * np.exp(1j * uang)
     outer = cfft.karatsuba_consts(np.real(d1), np.imag(d1))
 
+    # kernel-2 radix-4 over i1 (i1 = i + (n1/4)*h, k1 = r1 + 4*m1; see
+    # _k2_radix): the r1-twiddle t[r1, i] = e^{2pi i i r1/n1} carrying
+    # the r1 part of the roll factor, and the SHARED kept-column DFT
+    # E[i, j] = e^{2pi i i m1/(n1/4)} * u(4*m1) — the kept m1 range is
+    # identical for every r1 (k1_lo % 4 == 0 gate)
+    rx = None
+    if _k2_radix(n1, n1_keep, k1_lo):
+        q4 = n1 // 4
+        r1, i = np.meshgrid(np.arange(4), np.arange(q4), indexing="ij")
+        ang = (2.0 * np.pi * (i.astype(np.float64) * r1) / n1
+               - 2.0 * np.pi * roll * n2 * r1 / n)
+        rx_tr = np.cos(ang).astype(np.float32).reshape(4 * q4, 1)
+        rx_ti = np.sin(ang).astype(np.float32).reshape(4 * q4, 1)
+        m1 = k1_lo // 4 + np.arange(n1_keep // 4, dtype=np.float64)
+        i, mm = np.meshgrid(np.arange(q4, dtype=np.float64), m1,
+                            indexing="ij")
+        ang = (2.0 * np.pi * ((i * mm) % q4) / q4
+               - 2.0 * np.pi * roll * n2 * 4.0 * mm / n)
+        rx_e = cfft.karatsuba_consts(np.cos(ang), np.sin(ang))
+        rx = (rx_tr, rx_ti, rx_e)
+
     f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)  # noqa: E731
     return (
         f32(c7.real), f32(c7.imag),
@@ -205,6 +236,7 @@ def _constants(n: int, p: int, q: int, n1: int, lo: int, roll: int,
         f32(rollw.real), f32(rollw.imag),
         outer,
         (w_r, w_i),
+        rx,
     )
 
 
@@ -228,9 +260,10 @@ def fused_big_ifft_oc(
     n1_keep = (n - 2 * lo) // n2
     radix = _use_radix4(q)
     qm = q // 4
-    (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer, (w_r, w_i)) = _constants(
-        n, p, q, n1, lo, roll, gain, radix
-    )
+    (c7r, c7i, tw2r, tw2i, dq, rollr, rolli, outer, (w_r, w_i),
+     rx) = _constants(n, p, q, n1, lo, roll, gain, radix)
+    k1_lo = lo // n2
+    radix2 = rx is not None
     if radix:
         t4r, t4i, eqm = _radix_consts(q)
         t4r = t4r.reshape(4 * qm, 1)
@@ -371,7 +404,8 @@ def fused_big_ifft_oc(
 
     # ---- kernel 2: N-twiddle + outer n1-point DFT, kept columns --------
     def kern2(ar_ref, ai_ref, wr_ref, wi_ref, rollr_ref, rolli_ref,
-              o1h, o1l, o2h, o2l, o3h, o3l, outr_ref, outi_ref):
+              o1h, o1l, o2h, o2l, o3h, o3l, t2r_ref, t2i_ref,
+              outr_ref, outi_ref):
         # W[k2, i1] tile delivered per (gamma, delta-chunk) by BlockSpec
         wr = wr_ref[0, 0]
         wi = wi_ref[0, 0]
@@ -397,6 +431,30 @@ def fused_big_ifft_oc(
         ci = br * ri + bi * rr
         consts = ((o1h[:], o1l[:]), (o2h[:], o2l[:]), (o3h[:], o3l[:]))
         dn = (((0,), (0,)), ((), ()))
+        if radix2:
+            # radix-4 split of the i1 contraction (i1 = i + q4*h,
+            # k1 = r1 + 4*m1): 4-point VPU inverse DFT over the aligned
+            # q4-row groups, the r1-twiddle (with its roll part), then
+            # ONE shared (K=q4) Karatsuba GEMM against the kept-m1 DFT
+            # columns, all 4 r1-planes lane-stacked — 4x fewer MXU MACs
+            q4 = n1 // 4
+            zs = _idft4([
+                (cr[h * q4:(h + 1) * q4], ci[h * q4:(h + 1) * q4])
+                for h in range(4)
+            ])
+            zr_cols, zi_cols = [], []
+            for r1 in range(4):
+                tr = t2r_ref[r1 * q4:(r1 + 1) * q4, :]
+                ti = t2i_ref[r1 * q4:(r1 + 1) * q4, :]
+                zr, zi = zs[r1]
+                zr_cols.append(zr * tr - zi * ti)
+                zi_cols.append(zr * ti + zi * tr)
+            zr_all = jnp.concatenate(zr_cols, axis=1)   # (q4, 4*chunk2)
+            zi_all = jnp.concatenate(zi_cols, axis=1)
+            yr, yi = cfft.kar_dot(zr_all, zi_all, consts, dn)
+            outr_ref[0, 0, 0] = yr.reshape(4, chunk2, n1_keep // 4)
+            outi_ref[0, 0, 0] = yi.reshape(4, chunk2, n1_keep // 4)
+            return
         yr, yi = cfft.kar_dot(cr, ci, consts, dn)  # (CHUNK, n1_keep)
         outr_ref[0, 0, 0] = yr
         outi_ref[0, 0, 0] = yi
@@ -437,15 +495,32 @@ def fused_big_ifft_oc(
         return np.broadcast_to(
             v, (p, nch_d, 8, chunk2)
         ).reshape(p * nch_d, 8, chunk2).copy()
+    gemm2 = rx[2] if radix2 else outer
     consts2 = [
-        outer[0][0], outer[0][1], outer[1][0], outer[1][1],
-        outer[2][0], outer[2][1],
+        gemm2[0][0], gemm2[0][1], gemm2[1][0], gemm2[1][1],
+        gemm2[2][0], gemm2[2][1],
     ]
+    if radix2:
+        # r1-twiddle pre-broadcast to (n1, chunk2) for shape-exact slices
+        consts2 += [
+            np.broadcast_to(rx[0], (n1, chunk2)).copy(),
+            np.broadcast_to(rx[1], (n1, chunk2)).copy(),
+        ]
+        out2_spec = pl.BlockSpec(
+            (1, 1, 1, 4, chunk2, n1_keep // 4),
+            lambda pi, b, g, d: (pi, b, g, 0, d, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y2_shape = (n_pol, n_blocks, p, 4, q, n1_keep // 4)
+    else:
+        consts2 += [np.zeros((8, 128), np.float32),
+                    np.zeros((8, 128), np.float32)]
+        out2_spec = pl.BlockSpec(
+            (1, 1, 1, chunk2, n1_keep), lambda pi, b, g, d: (pi, b, g, d, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y2_shape = (n_pol, n_blocks, p, q, n1_keep)
     consts2 = [jnp.asarray(m) for m in consts2]
-    out2_spec = pl.BlockSpec(
-        (1, 1, 1, chunk2, n1_keep), lambda pi, b, g, d: (pi, b, g, d, 0),
-        memory_space=pltpu.VMEM,
-    )
     y2r, y2i = pl.pallas_call(
         kern2,
         grid=grid2,
@@ -453,8 +528,8 @@ def fused_big_ifft_oc(
         + [cspec2(m.shape) for m in consts2],
         out_specs=[out2_spec, out2_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pol, n_blocks, p, q, n1_keep), jnp.float32),
-            jax.ShapeDtypeStruct((n_pol, n_blocks, p, q, n1_keep), jnp.float32),
+            jax.ShapeDtypeStruct(y2_shape, jnp.float32),
+            jax.ShapeDtypeStruct(y2_shape, jnp.float32),
         ],
         interpret=interpret,
     )(a1r, a1i, jnp.asarray(w_r), jnp.asarray(w_i),
@@ -468,6 +543,18 @@ def fused_big_ifft_oc(
     keep = (n - 2 * lo)
 
     def order(y):
+        if radix and radix2:
+            # delta arrives (r2, m2)-major, kept k1 arrives (r1, m1)-
+            # split: t-order is (m1, r1, m2, r2, gamma) outer->inner
+            y = y.reshape(n_pol, n_blocks, p, 4, 4, qm, n1_keep // 4)
+            return jnp.transpose(y, (0, 1, 6, 3, 5, 4, 2)).reshape(
+                n_pol, n_blocks, keep
+            )
+        if radix2:
+            y = y.reshape(n_pol, n_blocks, p, 4, q, n1_keep // 4)
+            return jnp.transpose(y, (0, 1, 5, 3, 4, 2)).reshape(
+                n_pol, n_blocks, keep
+            )
         if radix:
             y = y.reshape(n_pol, n_blocks, p, 4, qm, n1_keep)
             return jnp.transpose(y, (0, 1, 5, 4, 3, 2)).reshape(
