@@ -550,11 +550,16 @@ def run(argv=None) -> int:
     timer.report(module_logger.debug if not a.verbose else None)
     if not a.test:
         module_logger.info("sgcht: wrote %s", out_path)
-    elif tester is not None and tester_state.current == 0:
-        # a test run whose tester never saw a sample proves nothing — the
-        # reference returns 0 here (vacuous pass); we refuse to
+    elif tester is not None and (
+        tester_state.current == 0
+        or (isinstance(tester, testers.TestPureTone)
+            and tester_state.judged == 0)
+    ):
+        # a test run whose tester never saw a sample — or whose every
+        # block fell inside the startup-transient skip — proves nothing;
+        # the reference returns 0 here (vacuous pass); we refuse to
         module_logger.error(
-            "sgcht: tester starved — no samples reached it (increase "
+            "sgcht: tester starved — nothing was judged (increase "
             "blocks/blocksz)"
         )
         return -2

@@ -41,6 +41,10 @@ class TesterState:
     current: int = 0
     failures: int = 0
     detail: str = ""
+    #: measurements actually performed (a run whose every block fell
+    #: inside the startup-transient skip has current > 0 but judged == 0
+    #: — it proved nothing and must not count as a pass)
+    judged: int = 0
 
 
 class TestPureTone:
@@ -307,7 +311,9 @@ class TestPureTone:
                     detail=f"spurious {worst:.1f} dB > {self.db_max}",
                 )
                 return state, -1
-        return dataclasses.replace(state, current=state.current + seen), 0
+        return dataclasses.replace(
+            state, current=state.current + seen, judged=state.judged + 1
+        ), 0
 
 
 class TestImpulse:

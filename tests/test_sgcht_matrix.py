@@ -97,3 +97,10 @@ class TestMatrixTest32:
                   blocksz=8192, signal="complex_sinusoid",
                   frequency=self.FREQ)
         assert rc == -2
+
+    def test_all_transient_stream_is_starved(self):
+        """A stream entirely inside the startup-transient skip must NOT
+        report success — nothing was actually judged."""
+        rc = _run([], cfg="low", blocks=1, blocksz=2048,
+                  signal="complex_sinusoid", frequency=self.FREQ)
+        assert rc == -2
