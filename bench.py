@@ -10,10 +10,14 @@ this host's CPU — the stand-in for the reference's single-threaded Matlab.
 Roofline (the BASELINE north-star accounting):
   * flops_per_sample_fft_optimal — FFT+FIR flops per raw sample using the
     5·N·log2(N) FFT model (the reference algorithm's intrinsic work);
-  * flops_per_sample_matmul — what the TPU formulation actually executes:
-    matmul DFTs (split-bf16x3) cost ~130x the FFT-optimal count, trading
-    flops for MXU-shaped compute (this backend has no FFT op; the MXU is
-    where v5e's throughput lives);
+  * flops_per_sample_matmul — the dense matmul-DFT formulation's executed
+    count (split-bf16x3; ~130x the FFT-optimal count, trading flops for
+    MXU-shaped compute — this backend has no FFT op). NOTE: since round 5
+    the mid kernels execute FEWER flops than this model (radix-4 splits
+    in ifft_big cut the beta/i1 GEMM MACs 4x); the model is kept as the
+    rounds-1..4 accounting basis so pct_sol stays comparable across
+    rounds, which makes the reported mid mxu_util/tflops_executed an
+    overestimate of the silicon's actual duty;
   * sol_msps — speed-of-light samples/s: min over the HBM floor
     (essential bytes/sample at 819 GB/s: read raw once, write+read the fine
     channels, write output) and the MXU floor for the matmul formulation
