@@ -305,12 +305,6 @@ def run(argv=None) -> int:
                     Fraction(n_chan // 2 - KEPT_LO, KEPT),
                 )
             monotonic_inv = False
-            if two_stage and lc2:
-                # cascaded LowCBF stages: the firmware's 2^17-quantized
-                # taps bound the within-channel spurious floor (the -60 dB
-                # SKAO requirement applies to the full-band INVERSION, not
-                # the raw firmware channelizer cascade)
-                db_max = -25.0
             # channelized (non-inverted) streams: exclude the filter
             # startup transient from the purity measurement — the tone's
             # turn-on convolved with the prototype is a property of the
