@@ -126,19 +126,25 @@ def sharded_two_stage_round_trip(
         xr, xi = xr[:, 0, :], xi[:, 0, :]
     n_pol, n_dat = xr.shape
 
-    # ---- stage 1: coarse channelizer --------------------------------
-    step1 = geometry.analysis_step(c1, os1)
-    quantum1 = mesh.devices.size * step1 * os1.nu
-    pad1 = (-n_dat) % quantum1
-    if pad1:
-        xr = jnp.pad(xr, [(0, 0), (0, pad1)])
-        xi = jnp.pad(xi, [(0, 0), (0, pad1)])
-    fl1 = geometry.padded_filter_length(int(np.asarray(filt1).size), c1)
-    nb1 = (n_dat - fl1) // step1
-    s1r, s1i = sharded_polyphase_analysis(
-        (xr, xi), filt1, c1, os1, mesh, axis=axis
-    )
-    s1r, s1i = s1r[:, :, :nb1], s1i[:, :, :nb1]
+    # ---- stage 1: coarse channelizer (plain or LowCBF firmware) -----
+    if cfg1.analysis_function == "polyphase_analysis_lowcbf":
+        s1r, s1i = sharded_lowcbf_analysis(
+            (xr, xi), filt1, mesh, first_call=True, axis=axis
+        )
+        c1 = _lowcbf.KEPT
+    else:
+        step1 = geometry.analysis_step(c1, os1)
+        quantum1 = mesh.devices.size * step1 * os1.nu
+        pad1 = (-n_dat) % quantum1
+        if pad1:
+            xr = jnp.pad(xr, [(0, 0), (0, pad1)])
+            xi = jnp.pad(xi, [(0, 0), (0, pad1)])
+        fl1 = geometry.padded_filter_length(int(np.asarray(filt1).size), c1)
+        nb1 = (n_dat - fl1) // step1
+        s1r, s1i = sharded_polyphase_analysis(
+            (xr, xi), filt1, c1, os1, mesh, axis=axis
+        )
+        s1r, s1i = s1r[:, :, :nb1], s1i[:, :, :nb1]
 
     # ---- stage 2: batched fine channelizers -------------------------
     # coarse channels ride the batch axis (models/two_stage.py batching)
@@ -214,6 +220,10 @@ def sharded_two_stage_round_trip(
         )
     nch_in = nch2 * combine
     nch_out = (c1 * nch2) // nch_in
+    # c1 need not divide into combine-slabs (lowpsi: 216 % 16 != 0) —
+    # drop the tail coarse channels exactly as models/two_stage.py does
+    s2r = s2r.reshape(n_pol, c1 * nch2, t2)[:, : nch_out * nch_in]
+    s2i = s2i.reshape(n_pol, c1 * nch2, t2)[:, : nch_out * nch_in]
     slabs_r = s2r.reshape(n_pol * nch_out, nch_in, t2)
     slabs_i = s2i.reshape(n_pol * nch_out, nch_in, t2)
     geom2 = geometry.SynthesisGeometry(

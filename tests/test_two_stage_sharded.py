@@ -95,3 +95,34 @@ def test_sps_lowpsi_cascade_matches_models():
     scale = np.abs(ref[..., :n_c]).max()
     err = np.abs(got[..., :n_c] - ref[..., :n_c]).max()
     assert err / scale < 1e-4, f"cascade rel err {err / scale}"
+
+
+@pytest.mark.parametrize("combine", [1, 16])
+def test_lowpsi_lowpsi_monotonic_critical_matches_models(combine):
+    """Cascaded LowCBF with an ACTIVE fftshift-aware chomp (216 -> 192,
+    band EDGES discarded — divergences.rst) and the monotonic combined
+    inversion (perm identity): the sharded chain must match the one-shot
+    models bit-for-float. The sps+lowpsi case above has a no-op chomp, so
+    only this geometry exercises the monotonic chomp/inversion under
+    sharding."""
+    import jax
+
+    cfg1 = cfg2 = load_config("lowpsi")
+    quantum = len(jax.devices()) * 192 * 4
+    n = (10_200_000 // quantum + 1) * quantum
+    x = _noise(n, 13)
+
+    fb = TwoStageFilterBank(cfg1, cfg2, critical=True)
+    assert fb.stage2_monotonic
+    _, chan = fb.execute(fb.init_state(), x[:, None, :])
+    nch2 = cfg1.os_factor.normalize(cfg1.channels)          # 192
+    inv = TwoStageInverseFilterBank(cfg1, cfg2, combine=combine, nch2=nch2)
+    _, ref = inv.execute(inv.init_state(), chan)
+    assert ref.shape[2] > 0, "reference produced no output — grow the stream"
+
+    got = _sharded(cfg1, cfg2, x, combine, invert=True)
+    assert got.shape[1] == ref.shape[1]
+    n_c = min(got.shape[2], ref.shape[2])
+    scale = np.abs(ref[..., :n_c]).max()
+    err = np.abs(got[..., :n_c] - ref[..., :n_c]).max()
+    assert err / scale < 1e-4, f"combine={combine}: rel err {err / scale}"
